@@ -1,0 +1,122 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric: views/sec/chip on the flagship training step (GVCNN 12-view
+ModelNet40, Inception-v1, bf16 — BASELINE config 3).  `vs_baseline` is the
+fraction of the chip's bf16 roofline achieved, computed from XLA's own cost
+analysis of the compiled step (north-star target: >= 0.95 of roofline conv
+throughput, BASELINE.json:5).  The reference publishes no throughput
+numbers (BASELINE.md), so roofline fraction is the honest denominator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# bf16 peak FLOP/s per chip by device kind (dense).
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197e12 if jax.default_backend() == "tpu" else 1e12  # cpu: nominal
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config("mn40_12view")
+    if on_tpu:
+        batch = 32
+    else:  # keep the CPU fallback quick
+        batch = 2
+        cfg = cfg.replace(
+            compute_dtype="float32",
+            use_pallas_grouping=False,
+            data=dataclasses.replace(cfg.data, height=64, width=64),
+        )
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=batch))
+    d = cfg.data
+
+    model, tx, state = create_train_state(cfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+
+    rng = np.random.RandomState(0)
+    views = jnp.asarray(
+        rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
+        jnp.float32,
+    )
+    labels = jnp.asarray(
+        rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32
+    )
+    batch_data = {"views": views, "label": labels}
+    key = jax.random.key(1)
+
+    # FLOPs of one step from XLA's cost model (for the roofline fraction).
+    try:
+        lowered = jax.jit(
+            make_train_step(model, tx, cfg)
+        ).lower(state, batch_data, key)
+        cost = lowered.compile().cost_analysis()
+        step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        step_flops = 0.0
+
+    # Timing note: on the tunneled axon platform block_until_ready returns
+    # early, so we sync by fetching a scalar to host — the device_get can
+    # only complete after every chained step has executed.
+    warmup, iters = (3, 20) if on_tpu else (1, 2)
+    for _ in range(warmup):
+        state, mets = step(state, batch_data, key)
+    float(jax.device_get(mets["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, mets = step(state, batch_data, key)
+    float(jax.device_get(mets["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+
+    n_chips = 1  # single-chip bench (driver runs on one real chip)
+    views_per_sec = d.batch_size * d.num_views / dt / n_chips
+    shapes_per_sec = d.batch_size / dt / n_chips
+
+    if step_flops > 0:
+        roofline_frac = (step_flops / dt) / _peak_flops()
+    else:
+        roofline_frac = 0.0
+
+    print(json.dumps({
+        "metric": "train_views_per_sec_per_chip_12view",
+        "value": round(views_per_sec, 2),
+        "unit": "views/s/chip",
+        "vs_baseline": round(roofline_frac, 4),
+        "extra": {
+            "shapes_per_sec": round(shapes_per_sec, 2),
+            "step_time_ms": round(dt * 1e3, 2),
+            "step_flops": step_flops,
+            "device": jax.devices()[0].device_kind,
+            "batch_shapes": d.batch_size,
+            "loss": float(mets["loss"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

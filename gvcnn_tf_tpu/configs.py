@@ -1,0 +1,227 @@
+"""Typed configs for gvcnn_tf_tpu.
+
+The reference (ace19-dev/gvcnn-tf) configures everything through flat
+`tf.app.flags` globals defined at the top of each driver
+(reference train.py:~L1-80 [U], SURVEY.md section 5 "Config / flag system").
+We replace that with frozen dataclasses — one per BASELINE.json config — and
+keep the reference flag names as CLI aliases (see `add_flags` /
+`config_from_flags` at the bottom) so a user of the reference can drive our
+CLIs with the same spellings (`--num_views`, `--num_group`, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input-pipeline config (reference data.py [U], SURVEY.md C5/C7)."""
+
+    dataset_dir: str = ""                # dir of TFRecords (or image tree)
+    dataset: str = "modelnet40"          # modelnet10 | modelnet40 | synthetic
+    num_classes: int = 40
+    num_views: int = 12                  # V: 8 or 12 in the reference
+    height: int = 224
+    width: int = 224
+    batch_size: int = 8                  # shapes per global batch
+    shuffle_buffer: int = 1024
+    # Train-time augmentation (reference preprocessing [MED]): random
+    # horizontal flip + random crop from a slightly larger resize.
+    augment: bool = True
+    crop_fraction: float = 0.875         # central-crop fraction at eval
+    # Synthetic-data fallback so every config can run with nothing on disk.
+    synthetic_num_shapes: int = 128
+    prefetch_to_device: int = 2          # double-buffered HBM prefetch depth
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization config (reference train.py flags [U], SURVEY.md C1)."""
+
+    optimizer: str = "momentum"          # momentum | adam | sgd
+    learning_rate: float = 0.01
+    momentum: float = 0.9
+    lr_decay_rate: float = 0.94          # slim-style exponential decay
+    lr_decay_steps: int = 2000
+    warmup_steps: int = 0
+    weight_decay: float = 4e-5           # slim inception_arg_scope default
+    num_steps: int = 10000
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    train_logdir: str = "/tmp/gvcnn_tpu/train"
+    # Warm-start from a converted ImageNet checkpoint (reference
+    # `checkpoint_path` + `checkpoint_exclude_scopes`, SURVEY.md C8).
+    checkpoint_path: str = ""
+    checkpoint_exclude_scopes: Tuple[str, ...] = ("Logits", "GroupingModule")
+    seed: int = 0
+    label_smoothing: float = 0.0
+    grad_clip_norm: float = 0.0          # 0 = off
+
+
+@dataclasses.dataclass(frozen=True)
+class GVCNNConfig:
+    """Full model+run config.
+
+    Mirrors the knobs of the reference `gvcnn.py` assembly (SURVEY.md C4):
+    backbone choice, number of groups M, the endpoint the scoring FCN taps,
+    and the score squashing used before bucketing.
+    """
+
+    name: str = "gvcnn"
+    backbone: str = "inception_v1"       # inception_v1 | inception_v4 | resnet50
+    num_group: int = 8                   # M groups partitioning (0,1]
+    # Endpoint feeding the view-discrimination FCN ("raw view descriptor",
+    # reference gvcnn.py [U]: backbone stem up to an early Mixed block).
+    raw_endpoint: str = "Mixed_3c"
+    # Endpoint whose GAP is the final view descriptor (Mixed_5c + GAP).
+    final_endpoint: str = "Mixed_5c"
+    # Squash of the FCN output into (0,1): BASELINE.json north star says the
+    # reference groups on *softmax* scores over the view axis; the paper uses
+    # a per-view sigmoid.  Both are supported; softmax is the parity default.
+    score_squash: str = "softmax"        # softmax | sigmoid | sigmoid_log
+    dropout_keep_prob: float = 0.8       # slim inception_v1 head default
+    # Multi-view on/off: False = plain single-view classifier (BASELINE
+    # config 1: backbone + linear head, no grouping module).
+    multi_view: bool = True
+    # Compute dtype for the backbone (params/BN stats stay fp32).
+    compute_dtype: str = "bfloat16"
+    # Use the fused Pallas grouping kernel (falls back to pure-jnp oracle
+    # when False or on CPU).
+    use_pallas_grouping: bool = True
+
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    # --- parallelism (build-side B1, SURVEY.md section 2) ---
+    # Data-parallel degree = number of devices on the 1-D `data` mesh.
+    # None = use all visible devices.
+    num_devices: Optional[int] = None
+
+    def replace(self, **kw) -> "GVCNNConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(**kw) -> GVCNNConfig:
+    data_kw = kw.pop("data", {})
+    train_kw = kw.pop("train", {})
+    return GVCNNConfig(
+        data=DataConfig(**data_kw), train=TrainConfig(**train_kw), **kw
+    )
+
+
+# The five BASELINE.json configs (BASELINE.json:6-12), by name.
+CONFIGS = {
+    # 1. Inception-v1 single-view ModelNet10 classification, batch 8,
+    #    224x224 (CPU-runnable).
+    "mn10_single_view": _cfg(
+        name="mn10_single_view",
+        multi_view=False,
+        compute_dtype="float32",
+        data=dict(dataset="modelnet10", num_classes=10, num_views=1,
+                  batch_size=8),
+    ),
+    # 2. GVCNN 8-view ModelNet10 with grouping module + intra-group pooling.
+    "mn10_8view": _cfg(
+        name="mn10_8view",
+        data=dict(dataset="modelnet10", num_classes=10, num_views=8,
+                  batch_size=8),
+    ),
+    # 3. GVCNN 12-view ModelNet40, Inception-v1 backbone (full reference
+    #    config) — the flagship.
+    "mn40_12view": _cfg(
+        name="mn40_12view",
+        data=dict(dataset="modelnet40", num_classes=40, num_views=12,
+                  batch_size=8),
+    ),
+    # 4. GVCNN 12-view ModelNet40 with swapped backbone.
+    "mn40_12view_inception_v4": _cfg(
+        name="mn40_12view_inception_v4",
+        backbone="inception_v4",
+        raw_endpoint="Mixed_5e",
+        final_endpoint="Mixed_7d",
+        data=dict(dataset="modelnet40", num_classes=40, num_views=12,
+                  batch_size=8),
+    ),
+    "mn40_12view_resnet50": _cfg(
+        name="mn40_12view_resnet50",
+        backbone="resnet50",
+        raw_endpoint="block2",
+        final_endpoint="block4",
+        data=dict(dataset="modelnet40", num_classes=40, num_views=12,
+                  batch_size=8),
+    ),
+    # 5. Data-parallel 12-view ModelNet40 training on v5e-8, sharded input
+    #    over ICI.  Same model as 3; global batch scaled to the mesh.
+    "mn40_12view_dp8": _cfg(
+        name="mn40_12view_dp8",
+        num_devices=8,
+        data=dict(dataset="modelnet40", num_classes=40, num_views=12,
+                  batch_size=64),
+    ),
+}
+
+
+def get_config(name: str) -> GVCNNConfig:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+    return CONFIGS[name]
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible CLI flags (tf.app.flags parity).
+# ---------------------------------------------------------------------------
+
+def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """Register the reference's flag names (reference train.py:~L1-80 [U])."""
+    p.add_argument("--config", default="mn40_12view",
+                   help=f"named config, one of {sorted(CONFIGS)}")
+    p.add_argument("--num_views", type=int, default=None)
+    p.add_argument("--num_group", type=int, default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--optimizer", default=None)
+    p.add_argument("--how_many_training_steps", "--num_steps", dest="num_steps",
+                   type=int, default=None)
+    p.add_argument("--train_logdir", default=None)
+    p.add_argument("--dataset_dir", default=None)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--checkpoint_exclude_scopes", default=None,
+                   help="comma-separated scope prefixes to skip on warm-start")
+    p.add_argument("--backbone", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
+    cfg = get_config(args.config)
+    data_kw, train_kw, top_kw = {}, {}, {}
+    for field, dst in [
+        ("num_views", data_kw), ("num_classes", data_kw), ("height", data_kw),
+        ("width", data_kw), ("batch_size", data_kw), ("dataset_dir", data_kw),
+        ("dataset", data_kw),
+        ("learning_rate", train_kw), ("optimizer", train_kw),
+        ("num_steps", train_kw), ("train_logdir", train_kw),
+        ("checkpoint_path", train_kw), ("seed", train_kw),
+        ("num_group", top_kw), ("backbone", top_kw),
+    ]:
+        v = getattr(args, field, None)
+        if v is not None:
+            dst[field] = v
+    if getattr(args, "checkpoint_exclude_scopes", None) is not None:
+        train_kw["checkpoint_exclude_scopes"] = tuple(
+            s for s in args.checkpoint_exclude_scopes.split(",") if s
+        )
+    if data_kw:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
+    if train_kw:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+    if top_kw:
+        cfg = cfg.replace(**top_kw)
+    return cfg

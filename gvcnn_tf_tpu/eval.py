@@ -1,0 +1,106 @@
+"""Evaluation driver (reference eval.py equivalent, SURVEY.md C2/3.2).
+
+Restores a checkpoint, streams the validation set once, accumulates top-1
+correct counts on-device, reports accuracy (and per-class counts).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvcnn_tf_tpu import metrics as metrics_lib
+from gvcnn_tf_tpu.checkpoint import Checkpointer
+from gvcnn_tf_tpu.configs import GVCNNConfig, add_flags, config_from_flags
+from gvcnn_tf_tpu.data import make_dataset
+from gvcnn_tf_tpu.models.gvcnn import init_model
+
+
+def evaluate(
+    config: GVCNNConfig,
+    checkpoint_dir: Optional[str] = None,
+    *,
+    dataset_iter=None,
+    state=None,
+    per_class: bool = False,
+):
+    """Returns {'accuracy': float, 'count': int, ...}.
+
+    `state` can inject an in-memory TrainState (tests / train-eval loops);
+    otherwise the latest checkpoint under `checkpoint_dir` (default: the
+    config's train_logdir) is restored.
+    """
+    model, init_vars = init_model(config, jax.random.key(config.train.seed))
+    if state is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        # Partial restore: params + BN stats only, independent of whichever
+        # optimizer wrote the checkpoint (reference Saver.restore(var_list)).
+        ckpt_dir = checkpoint_dir or config.train.train_logdir
+        target = {
+            "params": init_vars["params"],
+            "batch_stats": init_vars.get("batch_stats", {}),
+        }
+        variables = Checkpointer(ckpt_dir).restore_partial(target)
+
+    @jax.jit
+    def eval_step(variables, views, labels):
+        logits, _ = model.apply(variables, views, train=False)
+        pred = jnp.argmax(logits.astype(jnp.float32), -1)
+        correct = (pred == labels).astype(jnp.int32)
+        return correct, pred
+
+    if dataset_iter is None:
+        dataset_iter = make_dataset(
+            config.data, train=False, seed=config.train.seed, num_epochs=1
+        )
+
+    n_correct, n_total = 0, 0
+    ncls = config.data.num_classes
+    cls_correct = np.zeros(ncls, np.int64)
+    cls_total = np.zeros(ncls, np.int64)
+    for batch in dataset_iter:
+        correct, pred = eval_step(variables, batch["views"], batch["label"])
+        correct = np.asarray(correct)
+        labels = np.asarray(batch["label"])
+        n_correct += int(correct.sum())
+        n_total += len(labels)
+        if per_class:
+            np.add.at(cls_correct, labels, correct)
+            np.add.at(cls_total, labels, 1)
+
+    result = {
+        "accuracy": n_correct / max(n_total, 1),
+        "correct": n_correct,
+        "count": n_total,
+    }
+    if per_class:
+        result["per_class_accuracy"] = (
+            cls_correct / np.maximum(cls_total, 1)
+        ).tolist()
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gvcnn_tf_tpu evaluator")
+    add_flags(p)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--per_class", action="store_true")
+    args = p.parse_args(argv)
+    config = config_from_flags(args)
+    result = evaluate(
+        config, checkpoint_dir=args.checkpoint_dir, per_class=args.per_class
+    )
+    metrics_lib.log(
+        f"top-1 accuracy {result['accuracy']:.4f} "
+        f"({result['correct']}/{result['count']})"
+    )
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

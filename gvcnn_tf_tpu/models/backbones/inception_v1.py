@@ -1,0 +1,175 @@
+"""Inception-v1 (GoogLeNet) backbone in Flax, slim-compatible.
+
+Re-implements the behavior of the reference's vendored TF-Slim
+`nets/inception_v1.py` (SURVEY.md C6 + Appendix A): same endpoint names,
+same channel plan, same arg-scope hyperparameters (BN decay 0.9997,
+eps 0.001; weight decay 4e-5 is applied in the loss, not here), same
+TF-'SAME' padding semantics (JAX 'SAME' pads bottom/right-heavy exactly like
+TF, including the stride-2 7x7 stem).
+
+Endpoint spec (SURVEY.md Appendix A, 224x224 input):
+  Conv2d_1a_7x7 112x112x64 ... Mixed_5c 7x7x1024.
+
+TPU-first notes: the module is dtype-polymorphic — convs/BN run in
+`dtype` (bfloat16 on TPU) with fp32 params and fp32 BN statistics, which is
+the MXU-friendly layout.  The view axis never appears here: the GVCNN
+assembly folds (B, V, H, W, 3) -> (B*V, H, W, 3) before calling the backbone
+(SURVEY.md B3) so convs run dense on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Truncated-normal stddev from slim's inception_v1 trunc_normal(0.09) [MED,
+# SURVEY.md Appendix A]; biases are absent (BN provides the shift).
+_TRUNC_STDDEV = 0.09
+
+
+def _conv_init():
+    return nn.initializers.truncated_normal(stddev=_TRUNC_STDDEV)
+
+
+class ConvBNReLU(nn.Module):
+    """slim.conv2d with batch_norm + relu (inception_arg_scope defaults)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_conv_init(),
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9997,          # slim BN decay
+            epsilon=0.001,            # slim BN eps
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            use_scale=False,          # slim BN default: scale=None (gamma off)
+            name="BatchNorm",
+        )(x)
+        return nn.relu(x)
+
+
+class InceptionBlock(nn.Module):
+    """One Mixed_* block.
+
+    Branch plan matches slim inception_v1 (which uses 3x3 where the 2014
+    paper used 5x5 in Branch_2 — a known slim deviation the reference
+    inherits):
+      Branch_0: 1x1 -> b0
+      Branch_1: 1x1 -> b1_reduce, 3x3 -> b1
+      Branch_2: 1x1 -> b2_reduce, 3x3 -> b2
+      Branch_3: maxpool 3x3/1, 1x1 -> b3
+    """
+
+    b0: int
+    b1_reduce: int
+    b1: int
+    b2_reduce: int
+    b2: int
+    b3: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        br0 = ConvBNReLU(self.b0, (1, 1), dtype=d, name="Branch_0_Conv2d_0a_1x1")(x, train)
+        br1 = ConvBNReLU(self.b1_reduce, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, name="Branch_1_Conv2d_0b_3x3")(br1, train)
+        br2 = ConvBNReLU(self.b2_reduce, (1, 1), dtype=d, name="Branch_2_Conv2d_0a_1x1")(x, train)
+        br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, name="Branch_2_Conv2d_0b_3x3")(br2, train)
+        br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, name="Branch_3_Conv2d_0b_1x1")(br3, train)
+        return jnp.concatenate([br0, br1, br2, br3], axis=-1)
+
+
+# (endpoint, spec) in execution order.  Specs: ("conv", features, kernel,
+# stride) | ("pool", kernel, stride) | ("mixed", b0, b1r, b1, b2r, b2, b3).
+# Channel plan: SURVEY.md Appendix A.
+_V1_PLAN: Sequence[Tuple[str, Tuple]] = (
+    ("Conv2d_1a_7x7", ("conv", 64, (7, 7), (2, 2))),
+    ("MaxPool_2a_3x3", ("pool", (3, 3), (2, 2))),
+    ("Conv2d_2b_1x1", ("conv", 64, (1, 1), (1, 1))),
+    ("Conv2d_2c_3x3", ("conv", 192, (3, 3), (1, 1))),
+    ("MaxPool_3a_3x3", ("pool", (3, 3), (2, 2))),
+    ("Mixed_3b", ("mixed", 64, 96, 128, 16, 32, 32)),
+    ("Mixed_3c", ("mixed", 128, 128, 192, 32, 96, 64)),
+    ("MaxPool_4a_3x3", ("pool", (3, 3), (2, 2))),
+    ("Mixed_4b", ("mixed", 192, 96, 208, 16, 48, 64)),
+    ("Mixed_4c", ("mixed", 160, 112, 224, 24, 64, 64)),
+    ("Mixed_4d", ("mixed", 128, 128, 256, 24, 64, 64)),
+    ("Mixed_4e", ("mixed", 112, 144, 288, 32, 64, 64)),
+    ("Mixed_4f", ("mixed", 256, 160, 320, 32, 128, 128)),
+    ("MaxPool_5a_2x2", ("pool", (2, 2), (2, 2))),
+    ("Mixed_5b", ("mixed", 256, 160, 320, 32, 128, 128)),
+    ("Mixed_5c", ("mixed", 384, 192, 384, 48, 128, 128)),
+)
+
+ENDPOINTS = tuple(name for name, _ in _V1_PLAN)
+
+# Output channel count per endpoint (for head sizing / tests).
+ENDPOINT_CHANNELS = {
+    "Conv2d_1a_7x7": 64, "MaxPool_2a_3x3": 64, "Conv2d_2b_1x1": 64,
+    "Conv2d_2c_3x3": 192, "MaxPool_3a_3x3": 192, "Mixed_3b": 256,
+    "Mixed_3c": 480, "MaxPool_4a_3x3": 480, "Mixed_4b": 512,
+    "Mixed_4c": 512, "Mixed_4d": 512, "Mixed_4e": 528, "Mixed_4f": 832,
+    "MaxPool_5a_2x2": 832, "Mixed_5b": 832, "Mixed_5c": 1024,
+}
+
+
+class InceptionV1Base(nn.Module):
+    """`inception_v1_base` equivalent: stem + Mixed blocks, endpoint dict.
+
+    Reference: vendored slim nets/inception_v1.py `inception_v1_base`
+    (SURVEY.md C6 [U] — structure pinned by the public slim net).
+    """
+
+    final_endpoint: str = "Mixed_5c"
+    dtype: Any = jnp.float32
+
+    # Class-level metadata for the registry / GVCNN assembly.
+    DEFAULT_RAW_ENDPOINT = "Mixed_3c"
+    DEFAULT_FINAL_ENDPOINT = "Mixed_5c"
+    DESCRIPTOR_DIM = 1024
+    NAME = "InceptionV1"
+    ENDPOINT_CHANNELS = ENDPOINT_CHANNELS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.final_endpoint not in ENDPOINTS:
+            raise ValueError(f"unknown endpoint {self.final_endpoint!r}")
+        x = x.astype(self.dtype)
+        endpoints: Dict[str, jnp.ndarray] = {}
+        for name, spec in _V1_PLAN:
+            kind = spec[0]
+            if kind == "conv":
+                _, feats, kernel, stride = spec
+                x = ConvBNReLU(feats, kernel, stride, dtype=self.dtype,
+                               name=name)(x, train)
+            elif kind == "pool":
+                _, kernel, stride = spec
+                x = nn.max_pool(x, kernel, strides=stride, padding="SAME")
+            else:
+                _, b0, b1r, b1, b2r, b2, b3 = spec
+                x = InceptionBlock(b0, b1r, b1, b2r, b2, b3,
+                                   dtype=self.dtype, name=name)(x, train)
+            endpoints[name] = x
+            if name == self.final_endpoint:
+                return x, endpoints
+        return x, endpoints  # unreachable given the check above

@@ -1,0 +1,186 @@
+"""GVCNN model assembly — TPU-first re-design of reference gvcnn.py.
+
+Reference behavior (reference gvcnn.py:~L20-200 [U], SURVEY.md section 3.4):
+a Python loop runs the shared-weight backbone V times, one view at a time,
+then buckets views into M groups by an FCN discrimination score, max-pools
+descriptors within groups, and fuses groups by score-derived weights.
+
+TPU-first differences (SURVEY.md B2/B3):
+  * The view axis is folded into the batch axis — ONE dense (B*V, H, W, 3)
+    backbone pass instead of V sequential graph copies, so conv/matmul runs
+    large and batched on the MXU.
+  * The scoring FCN taps an early endpoint of the SAME backbone pass (no
+    second stem evaluation).
+  * Grouping/pooling/fusion is static-shaped mask math (ops/grouping.py),
+    optionally fused into a Pallas kernel (ops/pallas_grouping.py) so the
+    head never materializes the (B, M, V, C) broadcast in HBM.
+
+End-point parity: the returned `end_points` dict carries the tensors the
+north-star parity check inspects (`view_discrimination_scores`,
+`group_scheme`, `group_weight`, `Logits`, `Predictions`) with reference
+names (BASELINE.json:5, SURVEY.md section 7 "Public API surface").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gvcnn_tf_tpu.configs import GVCNNConfig
+from gvcnn_tf_tpu.models.backbones import get_backbone
+from gvcnn_tf_tpu.models.backbones.inception_v1 import ConvBNReLU
+from gvcnn_tf_tpu.ops import grouping as G
+
+
+def _global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """slim's 7x7 avg-pool head == global average pool for 224 input."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+class GroupingModule(nn.Module):
+    """View-discrimination FCN (reference C4a).
+
+    Runs on the raw view descriptor (an early backbone endpoint): 1x1
+    conv+BN+relu -> 1x1 conv to a single channel -> global average pool ->
+    raw scalar per view.  Squashing to (0,1) happens in the caller (it may
+    be a softmax over the view axis, which needs the unfolded (B, V) view).
+    Scoring runs in fp32 — it is tiny and drives bucketing decisions.
+    """
+
+    hidden: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, raw_feats, train: bool = False):
+        x = ConvBNReLU(self.hidden, (1, 1), dtype=self.dtype,
+                       name="Conv2d_score_1x1")(raw_feats, train)
+        x = nn.Conv(1, (1, 1), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="Conv2d_score_logit")(x)
+        return _global_avg_pool(x.astype(jnp.float32))[..., 0]  # (B*V,)
+
+
+class SingleViewClassifier(nn.Module):
+    """BASELINE config 1: backbone + slim-style logits head, single view.
+
+    Equivalent to the reference running `inception_v1(inputs, num_classes)`
+    directly (slim head: avg-pool 7x7 -> dropout(keep 0.8) -> 1x1 conv to
+    num_classes -> squeeze; SURVEY.md Appendix A "Head").
+    """
+
+    config: GVCNNConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if x.ndim == 5:            # accept (B, 1, H, W, 3) for API parity
+            x = x[:, 0]
+        backbone_cls = get_backbone(cfg.backbone)
+        feats, endpoints = backbone_cls(
+            final_endpoint=cfg.final_endpoint, dtype=dtype,
+            name=getattr(backbone_cls, "NAME", cfg.backbone),
+        )(x, train)
+        net = _global_avg_pool(feats.astype(jnp.float32))
+        net = nn.Dropout(rate=1.0 - cfg.dropout_keep_prob,
+                         deterministic=not train)(net)
+        logits = nn.Dense(cfg.data.num_classes, name="Logits")(net)
+        end_points: Dict[str, jnp.ndarray] = {
+            "Logits": logits,
+            "Predictions": jax.nn.softmax(logits, axis=-1),
+        }
+        return logits, end_points
+
+
+class GVCNN(nn.Module):
+    """Full multi-view GVCNN (reference `gvcnn()` equivalent).
+
+    __call__(x: (B, V, H, W, 3), train) -> (logits (B, num_classes),
+    end_points dict).
+    """
+
+    config: GVCNNConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        B, V = x.shape[0], x.shape[1]
+        M = cfg.num_group
+
+        # --- B3: fold views into batch, one dense MXU pass ---
+        xf = x.reshape((B * V,) + x.shape[2:])
+
+        backbone_cls = get_backbone(cfg.backbone)
+        feats, endpoints = backbone_cls(
+            final_endpoint=cfg.final_endpoint, dtype=dtype,
+            name=getattr(backbone_cls, "NAME", cfg.backbone),
+        )(xf, train)
+
+        # Final view descriptors: final endpoint + GAP (fp32 from here on —
+        # the grouping head is tiny and precision-sensitive).
+        descs = _global_avg_pool(feats.astype(jnp.float32))       # (B*V, C)
+        descs = descs.reshape(B, V, -1)
+
+        # Raw view descriptors -> discrimination scores (C4a).
+        raw_feats = endpoints[cfg.raw_endpoint]
+        raw_scores = GroupingModule(dtype=dtype, name="GroupingModule")(
+            raw_feats, train
+        ).reshape(B, V)
+        scores = G.squash_scores(raw_scores, cfg.score_squash)    # (B, V)
+
+        # Grouping + pooling + fusion (C4b-C4e), Pallas-fused when enabled
+        # and running on TPU; pure-jnp oracle otherwise.
+        if cfg.use_pallas_grouping and jax.default_backend() == "tpu":
+            from gvcnn_tf_tpu.ops.pallas_grouping import group_and_fuse_pallas
+            fused, weights, scheme = group_and_fuse_pallas(scores, descs, M)
+        else:
+            fused, weights, scheme = G.group_and_fuse(scores, descs, M)
+
+        net = nn.Dropout(rate=1.0 - cfg.dropout_keep_prob,
+                         deterministic=not train)(fused)
+        logits = nn.Dense(cfg.data.num_classes, name="Logits")(net)
+
+        end_points: Dict[str, jnp.ndarray] = {
+            "view_descriptors": descs,
+            "view_discrimination_scores": scores,
+            "group_scheme": scheme,
+            "group_weight": weights,
+            "shape_descriptor": fused,
+            "Logits": logits,
+            "Predictions": jax.nn.softmax(logits, axis=-1),
+        }
+        return logits, end_points
+
+
+def build_model(config: GVCNNConfig) -> nn.Module:
+    """Model factory: config -> Flax module (reference `gvcnn()` / slim net)."""
+    if config.multi_view:
+        return GVCNN(config=config)
+    return SingleViewClassifier(config=config)
+
+
+def init_model(
+    config: GVCNNConfig, rng: jax.Array, input_shape: Tuple[int, ...] = None
+):
+    """Initialize params + batch_stats for a model.
+
+    Returns (model, variables).  `input_shape` defaults to the config's
+    (B, V, H, W, 3) — pass a smaller one for fast tests.
+    """
+    model = build_model(config)
+    d = config.data
+    if input_shape is None:
+        if config.multi_view:
+            input_shape = (d.batch_size, d.num_views, d.height, d.width, 3)
+        else:
+            input_shape = (d.batch_size, d.height, d.width, 3)
+    import functools
+
+    dummy = jnp.zeros(input_shape, jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng}, dummy
+    )
+    return model, variables

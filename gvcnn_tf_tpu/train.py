@@ -1,0 +1,290 @@
+"""Training: functional train step under jit + SPMD sharding, and the
+`train(config)` driver (reference train.py equivalent, SURVEY.md C1/3.1).
+
+Reference flow: graph build -> Session loop with feed_dict, host driving
+every step.  Here: a pure `train_step(state, batch, rng)` jitted once with
+donated state; batches stream through a device-side prefetch ring; on a
+multi-device mesh the batch is sharded on the `data` axis and XLA inserts
+the gradient all-reduce (psum over ICI) from the sharding annotations —
+there is no hand-written communication (SURVEY.md B1).
+
+Loss matches slim semantics: softmax cross-entropy + weight decay 4e-5 as
+an explicit L2 term over conv/dense kernels (slim's regularization losses,
+reference train.py [U]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gvcnn_tf_tpu import metrics as metrics_lib
+from gvcnn_tf_tpu.checkpoint import Checkpointer, warm_start
+from gvcnn_tf_tpu.configs import GVCNNConfig, add_flags, config_from_flags
+from gvcnn_tf_tpu.data import make_dataset, prefetch_to_device
+from gvcnn_tf_tpu.models.gvcnn import build_model
+from gvcnn_tf_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    replicated_sharding,
+)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedule (reference: momentum + exponential LR decay [MED]).
+# ---------------------------------------------------------------------------
+
+def make_lr_schedule(tc) -> optax.Schedule:
+    decay = optax.exponential_decay(
+        init_value=tc.learning_rate,
+        transition_steps=tc.lr_decay_steps,
+        decay_rate=tc.lr_decay_rate,
+        staircase=True,                  # slim's tf.train.exponential_decay
+    )
+    if tc.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps)
+        return optax.join_schedules([warmup, decay], [tc.warmup_steps])
+    return decay
+
+
+def make_optimizer(tc) -> optax.GradientTransformation:
+    sched = make_lr_schedule(tc)
+    if tc.optimizer == "momentum":
+        opt = optax.sgd(sched, momentum=tc.momentum, nesterov=False)
+    elif tc.optimizer == "sgd":
+        opt = optax.sgd(sched)
+    elif tc.optimizer == "adam":
+        opt = optax.adam(sched)
+    else:
+        raise ValueError(f"unknown optimizer {tc.optimizer!r}")
+    if tc.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), opt)
+    return opt
+
+
+def l2_regularization(params, weight_decay: float) -> jnp.ndarray:
+    """slim l2_regularizer parity: wd * sum(||kernel||^2) / 2, kernels only
+    (BN scales/biases are not regularized in inception_arg_scope)."""
+    if weight_decay <= 0:
+        return jnp.asarray(0.0, jnp.float32)
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        if name == "kernel":
+            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return 0.5 * weight_decay * total
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+def make_train_step(
+    model, tx: optax.GradientTransformation, config: GVCNNConfig
+) -> Callable:
+    """Build the pure train step: (state, batch, rng) -> (state, metrics)."""
+
+    tc = config.train
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        views, labels = batch["views"], batch["label"]
+
+        def loss_fn(params):
+            (logits, _), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                views,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            logits = logits.astype(jnp.float32)
+            if tc.label_smoothing > 0:
+                n = logits.shape[-1]
+                onehot = jax.nn.one_hot(labels, n)
+                soft = onehot * (1 - tc.label_smoothing) + tc.label_smoothing / n
+                ce = optax.softmax_cross_entropy(logits, soft).mean()
+            else:
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                ).mean()
+            loss = ce + l2_regularization(params, tc.weight_decay)
+            return loss, (logits, updates["batch_stats"])
+
+        (loss, (logits, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bn,
+            opt_state=new_opt_state,
+        )
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        mets = {
+            "loss": loss,
+            "accuracy": acc,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, mets
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    def eval_step(variables, batch):
+        logits, _ = model.apply(variables, batch["views"], train=False)
+        pred = jnp.argmax(logits.astype(jnp.float32), -1)
+        return {
+            "correct": jnp.sum((pred == batch["label"]).astype(jnp.int32)),
+            "count": jnp.asarray(batch["label"].shape[0], jnp.int32),
+        }
+
+    return eval_step
+
+
+def create_train_state(
+    config: GVCNNConfig,
+    rng: jax.Array,
+    input_shape: Optional[Tuple[int, ...]] = None,
+) -> Tuple[Any, optax.GradientTransformation, TrainState]:
+    """Init model + optimizer -> (model, tx, TrainState)."""
+    model = build_model(config)
+    d = config.data
+    if input_shape is None:
+        if config.multi_view:
+            input_shape = (d.batch_size, d.num_views, d.height, d.width, 3)
+        else:
+            input_shape = (d.batch_size, d.height, d.width, 3)
+    # jit the init: eager per-op dispatch is slow, and on a remote device it
+    # is catastrophic (one RPC per op).
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": rng}, jnp.zeros(input_shape, jnp.float32)
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config.train)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    return model, tx, state
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def train(
+    config: GVCNNConfig,
+    *,
+    num_steps: Optional[int] = None,
+    dataset_iter=None,
+    writer: Optional[metrics_lib.MetricWriter] = None,
+):
+    """Full training loop (reference train.py main() equivalent).
+
+    Returns (final TrainState, last metrics dict).  `dataset_iter` can
+    inject a custom host-batch iterator (tests).
+    """
+    tc = config.train
+    num_steps = num_steps if num_steps is not None else tc.num_steps
+    writer = writer or metrics_lib.MetricWriter(tc.train_logdir)
+
+    mesh = create_mesh(config.num_devices)
+    repl = replicated_sharding(mesh)
+    dsh = data_sharding(mesh)
+
+    rng = jax.random.key(tc.seed)
+    init_rng, loop_rng = jax.random.split(rng)
+    model, tx, state = create_train_state(config, init_rng)
+
+    # ImageNet warm-start (reference checkpoint_path/exclude_scopes flow).
+    if tc.checkpoint_path:
+        pre = Checkpointer(tc.checkpoint_path)
+        restored = pre.restore(
+            {"params": state.params}
+        )  # backbone-only checkpoints store {'params': ...}
+        state = state.replace(
+            params=warm_start(
+                state.params, restored["params"], tc.checkpoint_exclude_scopes
+            )
+        )
+        metrics_lib.log(f"warm-started from {tc.checkpoint_path}")
+
+    ckpt = Checkpointer(tc.train_logdir) if tc.checkpoint_every > 0 else None
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        metrics_lib.log(f"resumed from step {int(state.step)}")
+
+    state = jax.device_put(state, repl)
+
+    train_step = jax.jit(
+        make_train_step(model, tx, config),
+        in_shardings=(repl, dsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=0,
+    )
+
+    if dataset_iter is None:
+        dataset_iter = make_dataset(config.data, train=True, seed=tc.seed)
+    it = prefetch_to_device(
+        dataset_iter, size=config.data.prefetch_to_device, sharding=dsh
+    )
+
+    timer = metrics_lib.StepTimer()
+    mets = {}
+    start = int(state.step)
+    for step in range(start, num_steps):
+        batch = next(it, None)
+        if batch is None:
+            metrics_lib.log("dataset exhausted")
+            break
+        state, mets = train_step(state, batch, loop_rng)
+        timer.tick()
+        if (step + 1) % tc.log_every == 0 or step + 1 == num_steps:
+            jax.block_until_ready(mets)
+            vals = {k: float(v) for k, v in mets.items()}
+            vals["steps_per_sec"] = timer.rate()
+            vals["shapes_per_sec"] = timer.rate() * config.data.batch_size
+            vals["lr"] = float(make_lr_schedule(tc)(step))
+            writer.scalars(step + 1, vals)
+            timer.reset()
+        if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
+            ckpt.save(step + 1, jax.device_get(state))
+    if ckpt is not None:
+        if ckpt.latest_step() != int(state.step):
+            ckpt.save(int(state.step), jax.device_get(state), force=True)
+        ckpt.close()
+    writer.flush()
+    return state, mets
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gvcnn_tf_tpu trainer")
+    add_flags(p)
+    args = p.parse_args(argv)
+    config = config_from_flags(args)
+    metrics_lib.log(f"training config {config.name}: {config}")
+    train(config)
+
+
+if __name__ == "__main__":
+    main()

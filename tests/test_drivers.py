@@ -1,0 +1,94 @@
+"""End-to-end driver tests: train() -> evaluate() -> predict() on synthetic
+data (the reference's manual train.py/eval.py/predict.py flow, automated —
+SURVEY.md C1-C3)."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gvcnn_tf_tpu import evaluate, predict, train
+from gvcnn_tf_tpu.configs import get_config
+from gvcnn_tf_tpu.eval import evaluate as eval_fn
+from gvcnn_tf_tpu.predict import predict as predict_fn
+from gvcnn_tf_tpu.train import train as train_fn
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    logdir = str(tmp_path_factory.mktemp("train"))
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", height=32, width=32,
+            num_views=2, batch_size=4, synthetic_num_shapes=16,
+        ),
+        train=dataclasses.replace(
+            cfg.train, num_steps=6, log_every=3, checkpoint_every=3,
+            train_logdir=logdir, optimizer="adam", learning_rate=1e-3,
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        num_devices=1,
+    )
+    state, mets = train_fn(cfg)
+    return cfg, state, mets, logdir
+
+
+def test_train_runs_and_checkpoints(trained):
+    cfg, state, mets, logdir = trained
+    assert int(state.step) == 6
+    assert np.isfinite(float(mets["loss"]))
+    assert os.path.isdir(logdir)
+    from gvcnn_tf_tpu.checkpoint import Checkpointer
+    assert Checkpointer(logdir).latest_step() == 6
+
+
+def test_evaluate_from_checkpoint(trained):
+    cfg, _, _, logdir = trained
+    result = eval_fn(cfg, checkpoint_dir=logdir, per_class=True)
+    assert 0.0 <= result["accuracy"] <= 1.0
+    assert result["count"] == 16
+    assert len(result["per_class_accuracy"]) == cfg.data.num_classes
+
+
+def test_predict_on_array(trained):
+    cfg, _, _, logdir = trained
+    rng = np.random.RandomState(0)
+    views = rng.rand(2, cfg.data.num_views, 32, 32, 3).astype(np.float32)
+    results = predict_fn(cfg, checkpoint_dir=logdir, views=views)
+    assert len(results) == 2
+    for r in results:
+        assert 0 <= r["class_index"] < cfg.data.num_classes
+        assert 0.0 < r["probability"] <= 1.0
+        assert len(r["view_scores"]) == cfg.data.num_views
+
+
+def test_predict_from_image_dir(trained, tmp_path):
+    from PIL import Image
+
+    cfg, _, _, logdir = trained
+    d = tmp_path / "shape0"
+    d.mkdir()
+    rng = np.random.RandomState(1)
+    for v in range(cfg.data.num_views):
+        Image.fromarray(
+            rng.randint(0, 255, (48, 48, 3), np.uint8)
+        ).save(d / f"v{v}.png")
+    results = predict_fn(cfg, checkpoint_dir=logdir, view_dir=str(d))
+    assert len(results) == 1
+    assert results[0]["shape"] == "shape0"
+
+
+def test_resume_from_checkpoint(trained):
+    """Auto-resume: calling train() again with num_steps=8 continues at 6."""
+    cfg, _, _, logdir = trained
+    state, _ = train_fn(cfg, num_steps=8)
+    assert int(state.step) == 8
+
+
+def test_package_level_api():
+    """gvcnn_tf_tpu.train/evaluate/predict are importable (north-star API)."""
+    assert callable(train) and callable(evaluate) and callable(predict)

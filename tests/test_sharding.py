@@ -1,0 +1,96 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4 "multi-node without a cluster", build component B1)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gvcnn_tf_tpu.configs import get_config
+from gvcnn_tf_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from gvcnn_tf_tpu.train import create_train_state, make_train_step
+
+
+def test_mesh_creation():
+    mesh = create_mesh(8)
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_shards():
+    mesh = create_mesh(8)
+    batch = {
+        "views": np.zeros((16, 4, 8, 8, 3), np.float32),
+        "label": np.zeros((16,), np.int32),
+    }
+    sharded = shard_batch(batch, mesh)
+    assert sharded["views"].sharding.spec == P("data")
+    # Each device holds 16/8 = 2 shapes.
+    shard = sharded["views"].addressable_shards[0]
+    assert shard.data.shape == (2, 4, 8, 8, 3)
+
+
+def test_dp_train_step_matches_single_device():
+    """The sharded step must compute the same update as single-device
+    (global-batch mean semantics under GSPMD)."""
+    cfg = get_config("mn10_8view").replace(
+        data=dataclasses.replace(
+            get_config("mn10_8view").data,
+            height=32, width=32, batch_size=8, num_views=2,
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+    )
+    model, tx, state0 = create_train_state(cfg, jax.random.key(0))
+    rng = np.random.RandomState(0)
+    d = cfg.data
+    batch = {
+        "views": rng.rand(8, 2, 32, 32, 3).astype(np.float32),
+        "label": rng.randint(0, d.num_classes, 8).astype(np.int32),
+    }
+    key = jax.random.key(1)
+
+    # Single device.
+    step1 = jax.jit(make_train_step(model, tx, cfg))
+    s1, m1 = step1(state0, jax.tree.map(jnp.asarray, batch), key)
+
+    # 8-device DP.
+    mesh = create_mesh(8)
+    repl, dsh = replicated_sharding(mesh), data_sharding(mesh)
+    step8 = jax.jit(
+        make_train_step(model, tx, cfg),
+        in_shardings=(repl, dsh, repl),
+        out_shardings=(repl, repl),
+    )
+    state0_r = jax.device_put(state0, repl)
+    batch_r = shard_batch(batch, mesh)
+    key_r = jax.device_put(key, repl)
+    s8, m8 = step8(state0_r, batch_r, key_r)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    # Spot-check a parameter subtree for identical updates.
+    p1 = jax.tree.leaves(s1.params)[0]
+    p8 = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    """The driver's dryrun entry must work on the virtual mesh."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
