@@ -35,6 +35,9 @@ class DataConfig:
     # Synthetic-data fallback so every config can run with nothing on disk.
     synthetic_num_shapes: int = 128
     prefetch_to_device: int = 2          # double-buffered HBM prefetch depth
+    # Input loader: auto = synthetic if no dataset_dir, TFRecords if present,
+    # else the native C++ decode pool on a rendered-view image tree.
+    loader: str = "auto"                 # auto | tfrecord | native | synthetic
 
 
 @dataclasses.dataclass(frozen=True)

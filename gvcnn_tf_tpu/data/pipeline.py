@@ -30,7 +30,38 @@ def make_dataset(
     disk; otherwise reads the sharded TFRecords produced by
     `gvcnn_tf_tpu.data.tfrecord.build_tfrecords`.
     """
-    if data_cfg.dataset == "synthetic" or not data_cfg.dataset_dir:
+    loader = data_cfg.loader
+    if loader == "auto":
+        if data_cfg.dataset == "synthetic" or not data_cfg.dataset_dir:
+            loader = "synthetic"
+        elif glob.glob(os.path.join(data_cfg.dataset_dir, "*.tfrecord")):
+            loader = "tfrecord"
+        else:
+            loader = "native"
+
+    if loader == "native":
+        # C++ threaded decode pool straight off a rendered-view image tree
+        # (data/native/loader.cc); falls back to TFRecord/PIL paths when the
+        # toolchain is unavailable.
+        from gvcnn_tf_tpu.data import native_loader
+
+        if native_loader.available():
+            return native_loader.native_dataset(
+                data_cfg.dataset_dir,
+                num_views=data_cfg.num_views,
+                height=data_cfg.height,
+                width=data_cfg.width,
+                batch_size=data_cfg.batch_size,
+                train=train,
+                num_epochs=num_epochs,
+                seed=seed,
+            )
+        raise RuntimeError(
+            "native loader unavailable (no C++ toolchain?); build TFRecords "
+            "with gvcnn_tf_tpu.data.build_tfrecords instead"
+        )
+
+    if loader == "synthetic":
         it = synthetic_dataset(
             num_classes=data_cfg.num_classes,
             num_views=data_cfg.num_views,

@@ -198,6 +198,7 @@ def train(
     num_steps: Optional[int] = None,
     dataset_iter=None,
     writer: Optional[metrics_lib.MetricWriter] = None,
+    profile_steps: Optional[Tuple[int, int]] = None,
 ):
     """Full training loop (reference train.py main() equivalent).
 
@@ -253,11 +254,30 @@ def train(
     mets = {}
     start = int(state.step)
     for step in range(start, num_steps):
+        # Optional profiler capture window (SURVEY.md section 5 tracing plan:
+        # jax.profiler -> Perfetto/TensorBoard trace under train_logdir).
+        # Skipped under the remote `axon` PJRT plugin, whose profiler hook
+        # hangs start_trace (verified empirically in this container).
+        if profile_steps is not None and step == profile_steps[0]:
+            import os as _os
+
+            if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+                metrics_lib.log(
+                    "profiling skipped: remote axon platform hangs "
+                    "jax.profiler.start_trace"
+                )
+                profile_steps = None
+            else:
+                jax.profiler.start_trace(tc.train_logdir)
         batch = next(it, None)
         if batch is None:
             metrics_lib.log("dataset exhausted")
             break
         state, mets = train_step(state, batch, loop_rng)
+        if profile_steps is not None and step + 1 == profile_steps[1]:
+            jax.block_until_ready(mets)
+            jax.profiler.stop_trace()
+            metrics_lib.log(f"profiler trace written to {tc.train_logdir}")
         timer.tick()
         if (step + 1) % tc.log_every == 0 or step + 1 == num_steps:
             jax.block_until_ready(mets)
