@@ -42,6 +42,9 @@ def main():
 
     from gvcnn_tf_tpu.configs import get_config
     from gvcnn_tf_tpu.train import create_train_state, make_train_step
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
 
     cfg = get_config("mn40_12view")
     if on_tpu:
@@ -97,6 +100,18 @@ def main():
     views_per_sec = d.batch_size * d.num_views / dt / n_chips
     shapes_per_sec = d.batch_size / dt / n_chips
 
+    # Inference path (serving): forward-only views/sec at the same batch.
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    out = fwd(variables, views)
+    float(jax.device_get(out[0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, views)
+    float(jax.device_get(out[0, 0]))
+    dt_fwd = (time.perf_counter() - t0) / iters
+    eval_views_per_sec = d.batch_size * d.num_views / dt_fwd
+
     if step_flops > 0:
         roofline_frac = (step_flops / dt) / _peak_flops()
     else:
@@ -109,6 +124,7 @@ def main():
         "vs_baseline": round(roofline_frac, 4),
         "extra": {
             "shapes_per_sec": round(shapes_per_sec, 2),
+            "eval_views_per_sec": round(eval_views_per_sec, 2),
             "step_time_ms": round(dt * 1e3, 2),
             "step_flops": step_flops,
             "device": jax.devices()[0].device_kind,

@@ -74,6 +74,9 @@ class GVCNNConfig:
     """
 
     name: str = "gvcnn"
+    # Model family: gvcnn (grouping head) | mvcnn (plain max-pool over views,
+    # the paper's baseline — useful for ablation and as a second family).
+    model: str = "gvcnn"
     backbone: str = "inception_v1"       # inception_v1 | inception_v4 | resnet50
     num_group: int = 8                   # M groups partitioning (0,1]
     # Endpoint feeding the view-discrimination FCN ("raw view descriptor",
@@ -153,6 +156,14 @@ CONFIGS = {
         backbone="resnet50",
         raw_endpoint="block2",
         final_endpoint="block4",
+        data=dict(dataset="modelnet40", num_classes=40, num_views=12,
+                  batch_size=8),
+    ),
+    # MVCNN baseline (Su et al. 2015): shared backbone + element-wise max
+    # over all view descriptors, no grouping module.
+    "mn40_12view_mvcnn": _cfg(
+        name="mn40_12view_mvcnn",
+        model="mvcnn",
         data=dict(dataset="modelnet40", num_classes=40, num_views=12,
                   batch_size=8),
     ),

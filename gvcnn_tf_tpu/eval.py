@@ -34,6 +34,9 @@ def evaluate(
     otherwise the latest checkpoint under `checkpoint_dir` (default: the
     config's train_logdir) is restored.
     """
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
     model, init_vars = init_model(config, jax.random.key(config.train.seed))
     if state is not None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}

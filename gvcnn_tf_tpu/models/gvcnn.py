@@ -155,11 +155,51 @@ class GVCNN(nn.Module):
         return logits, end_points
 
 
+class MVCNN(nn.Module):
+    """MVCNN baseline (Su et al., ICCV 2015): shared backbone per view +
+    element-wise max over ALL view descriptors, no grouping module.
+
+    The GVCNN paper's comparison baseline (SURVEY.md section 6, 90.1% on
+    ModelNet40); equivalent to GVCNN with a single all-views group and
+    uniform weight.  Uses the same B*V folding as GVCNN.
+    """
+
+    config: GVCNNConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        B, V = x.shape[0], x.shape[1]
+        xf = x.reshape((B * V,) + x.shape[2:])
+        backbone_cls = get_backbone(cfg.backbone)
+        feats, _ = backbone_cls(
+            final_endpoint=cfg.final_endpoint, dtype=dtype,
+            name=getattr(backbone_cls, "NAME", cfg.backbone),
+        )(xf, train)
+        descs = _global_avg_pool(feats.astype(jnp.float32)).reshape(B, V, -1)
+        pooled = jnp.max(descs, axis=1)                   # view pooling
+        net = nn.Dropout(rate=1.0 - cfg.dropout_keep_prob,
+                         deterministic=not train)(pooled)
+        logits = nn.Dense(cfg.data.num_classes, name="Logits")(net)
+        end_points = {
+            "view_descriptors": descs,
+            "shape_descriptor": pooled,
+            "Logits": logits,
+            "Predictions": jax.nn.softmax(logits, axis=-1),
+        }
+        return logits, end_points
+
+
 def build_model(config: GVCNNConfig) -> nn.Module:
     """Model factory: config -> Flax module (reference `gvcnn()` / slim net)."""
-    if config.multi_view:
+    if not config.multi_view:
+        return SingleViewClassifier(config=config)
+    if config.model == "mvcnn":
+        return MVCNN(config=config)
+    if config.model == "gvcnn":
         return GVCNN(config=config)
-    return SingleViewClassifier(config=config)
+    raise ValueError(f"unknown model family {config.model!r}")
 
 
 def init_model(

@@ -78,6 +78,9 @@ def predict(
     else:
         names = [f"shape_{i}" for i in range(views.shape[0])]
 
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
     model, init_vars = init_model(config, jax.random.key(config.train.seed))
     if state is not None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -205,6 +205,9 @@ def train(
     Returns (final TrainState, last metrics dict).  `dataset_iter` can
     inject a custom host-batch iterator (tests).
     """
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
     tc = config.train
     num_steps = num_steps if num_steps is not None else tc.num_steps
     writer = writer or metrics_lib.MetricWriter(tc.train_logdir)

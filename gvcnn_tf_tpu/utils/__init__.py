@@ -1,1 +1,2 @@
 from gvcnn_tf_tpu.utils.profiling import profile_trace, timed_steps  # noqa: F401
+from gvcnn_tf_tpu.utils.cache import setup_compilation_cache  # noqa: F401
