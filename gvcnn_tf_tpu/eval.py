@@ -7,6 +7,7 @@ correct counts on-device, reports accuracy (and per-class counts).
 from __future__ import annotations
 
 import argparse
+import functools
 from typing import Optional
 
 import jax
@@ -50,7 +51,23 @@ def evaluate(
         }
         variables = Checkpointer(ckpt_dir).restore_partial(target)
 
-    @jax.jit
+    # Shard evaluation over the data mesh when configured (config 5 parity:
+    # sharded input over ICI applies to the eval stream too).  On a 1-device
+    # mesh this degenerates to plain jit.
+    from gvcnn_tf_tpu.parallel import (
+        create_mesh, data_sharding, replicated_sharding,
+    )
+
+    n_dev = config.num_devices or len(jax.devices())
+    if config.data.batch_size % n_dev != 0:
+        n_dev = 1  # uneven shards: evaluate on one device rather than crash
+    mesh = create_mesh(n_dev)
+    repl, dsh = replicated_sharding(mesh), data_sharding(mesh)
+    variables = jax.device_put(variables, repl)
+
+    @functools.partial(
+        jax.jit, in_shardings=(repl, dsh, dsh), out_shardings=(dsh, dsh)
+    )
     def eval_step(variables, views, labels):
         logits, _ = model.apply(variables, views, train=False)
         pred = jnp.argmax(logits.astype(jnp.float32), -1)
