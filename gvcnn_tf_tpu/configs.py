@@ -38,6 +38,9 @@ class DataConfig:
     # Input loader: auto = synthetic if no dataset_dir, TFRecords if present,
     # else the native C++ decode pool on a rendered-view image tree.
     loader: str = "auto"                 # auto | tfrecord | native | synthetic
+    # Host->device transfer dtype for float arrays; bfloat16 halves H2D
+    # bandwidth (the model casts to its compute dtype regardless).
+    transfer_dtype: str = "float32"      # float32 | bfloat16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +212,7 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_exclude_scopes", default=None,
                    help="comma-separated scope prefixes to skip on warm-start")
     p.add_argument("--backbone", default=None)
+    p.add_argument("--model", default=None, help="gvcnn | mvcnn")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -223,7 +227,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("checkpoint_path", train_kw), ("seed", train_kw),
-        ("num_group", top_kw), ("backbone", top_kw),
+        ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

@@ -17,27 +17,41 @@ import jax
 
 
 def prefetch_to_device(
-    iterator: Iterator, size: int = 2, sharding: Optional[jax.sharding.Sharding] = None
+    iterator: Iterator,
+    size: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    transfer_dtype=None,
 ) -> Iterator:
     """Wrap a host-batch iterator with an N-deep on-device buffer.
 
     `sharding` (typically NamedSharding(mesh, P('data', ...))) makes the
     device_put itself the scatter over the mesh — no per-chip Python loop.
+    `transfer_dtype='bfloat16'` casts float arrays host-side before the
+    copy, halving H2D bandwidth (231 MB -> 115 MB per flagship batch); the
+    model casts to its compute dtype anyway.
     """
     queue = collections.deque()
+    cast_to = None
+    if transfer_dtype is not None:
+        import ml_dtypes  # numpy bf16 support, bundled with jax
+
+        cast_to = {"bfloat16": ml_dtypes.bfloat16}.get(
+            str(transfer_dtype), transfer_dtype
+        )
+
+    def put(x):
+        if cast_to is not None and hasattr(x, "dtype") and x.dtype.kind == "f":
+            x = x.astype(cast_to)
+        return jax.device_put(x, sharding) if sharding is not None else (
+            jax.device_put(x)
+        )
 
     def enqueue(n):
         for _ in range(n):
             batch = next(iterator, None)
             if batch is None:
                 return
-            if sharding is not None:
-                batch = jax.tree.map(
-                    lambda x: jax.device_put(x, sharding), batch
-                )
-            else:
-                batch = jax.tree.map(jax.device_put, batch)
-            queue.append(batch)
+            queue.append(jax.tree.map(put, batch))
 
     enqueue(size)
     while queue:

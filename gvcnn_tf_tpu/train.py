@@ -221,11 +221,22 @@ def train(
     model, tx, state = create_train_state(config, init_rng)
 
     # ImageNet warm-start (reference checkpoint_path/exclude_scopes flow).
+    # Restore ONLY the non-excluded scopes: the pretrained head (e.g. a
+    # 1000-class Logits) may have different shapes than ours, and excluded
+    # scopes must not even be read — slim's assign_from_checkpoint_fn
+    # semantics (SURVEY.md C8).
     if tc.checkpoint_path:
         pre = Checkpointer(tc.checkpoint_path)
-        restored = pre.restore(
-            {"params": state.params}
-        )  # backbone-only checkpoints store {'params': ...}
+        target = {
+            "params": {
+                scope: sub
+                for scope, sub in state.params.items()
+                if not any(
+                    scope.startswith(e) for e in tc.checkpoint_exclude_scopes
+                )
+            }
+        }
+        restored = pre.restore_partial(target)
         state = state.replace(
             params=warm_start(
                 state.params, restored["params"], tc.checkpoint_exclude_scopes
@@ -250,7 +261,13 @@ def train(
     if dataset_iter is None:
         dataset_iter = make_dataset(config.data, train=True, seed=tc.seed)
     it = prefetch_to_device(
-        dataset_iter, size=config.data.prefetch_to_device, sharding=dsh
+        dataset_iter,
+        size=config.data.prefetch_to_device,
+        sharding=dsh,
+        transfer_dtype=(
+            None if config.data.transfer_dtype == "float32"
+            else config.data.transfer_dtype
+        ),
     )
 
     timer = metrics_lib.StepTimer()

@@ -93,3 +93,20 @@ def test_tfrecord_roundtrip(tmp_path):
     assert b["views"].shape == (2, V, 16, 16, 3)
     assert b["views"].min() >= -1.0 and b["views"].max() <= 1.0
     assert set(np.concatenate([x["label"] for x in batches])) <= {0, 1}
+
+
+def test_prefetch_bf16_transfer():
+    import jax.numpy as jnp
+    from gvcnn_tf_tpu.data.prefetch import prefetch_to_device
+
+    cfg = DataConfig(dataset="synthetic", num_classes=3, num_views=2,
+                     height=8, width=8, batch_size=2, synthetic_num_shapes=4)
+    host = list(make_dataset(cfg, train=False, num_epochs=1))
+    dev = list(prefetch_to_device(iter(host), size=2,
+                                  transfer_dtype="bfloat16"))
+    assert dev[0]["views"].dtype == jnp.bfloat16
+    assert dev[0]["label"].dtype == host[0]["label"].dtype  # ints untouched
+    np.testing.assert_allclose(
+        np.asarray(dev[0]["views"], np.float32), host[0]["views"],
+        atol=0.01,  # bf16 quantization
+    )

@@ -92,3 +92,17 @@ def test_resume_from_checkpoint(trained):
 def test_package_level_api():
     """gvcnn_tf_tpu.train/evaluate/predict are importable (north-star API)."""
     assert callable(train) and callable(evaluate) and callable(predict)
+
+
+def test_metric_writer_tensorboard_events(tmp_path):
+    """C9 parity: scalars land in TensorBoard event files when TF exists."""
+    pytest.importorskip("tensorflow")
+    from gvcnn_tf_tpu.metrics import MetricWriter
+
+    logdir = str(tmp_path / "tb")
+    w = MetricWriter(logdir)
+    w.scalars(1, {"loss": 1.5, "accuracy": 0.25})
+    w.flush()
+    import glob
+    events = glob.glob(logdir + "/events.out.tfevents.*")
+    assert events, "no TensorBoard event file written"
