@@ -100,6 +100,9 @@ class GVCNNConfig:
     # Use the fused Pallas grouping kernel (falls back to pure-jnp oracle
     # when False or on CPU).
     use_pallas_grouping: bool = True
+    # Rematerialize backbone activations in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for HBM bandwidth/footprint.
+    remat_backbone: bool = False
 
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)

@@ -114,6 +114,11 @@ class GVCNN(nn.Module):
         xf = x.reshape((B * V,) + x.shape[2:])
 
         backbone_cls = get_backbone(cfg.backbone)
+        if cfg.remat_backbone:
+            # Recompute backbone activations in the backward pass instead of
+            # keeping them in HBM (SURVEY.md: remat to trade FLOPs for
+            # memory/bandwidth).  Static argnums: `train` is a Python bool.
+            backbone_cls = nn.remat(backbone_cls, static_argnums=(2,))
         feats, endpoints = backbone_cls(
             final_endpoint=cfg.final_endpoint, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),

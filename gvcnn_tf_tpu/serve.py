@@ -1,0 +1,210 @@
+"""Batched HTTP inference server for GVCNN (production-serving surface).
+
+The reference stops at predict.py (one-shot script).  This server keeps the
+jitted forward resident on the device and answers classification requests:
+
+  GET  /healthz              -> 200 "ok"
+  GET  /info                 -> JSON model/config metadata
+  POST /predict              -> body: .npz with array 'views' of shape
+                                (N, V, H, W, 3) float32 in [-1, 1]
+                                (or (V, H, W, 3) for a single shape);
+                                response: JSON list of
+                                {class_index, probability, view_scores}
+
+Design: a fixed serving batch size (pad + mask) so the forward is compiled
+exactly once; requests larger than the batch are chunked.  The HTTP layer is
+stdlib ThreadingHTTPServer — device work is serialized by a lock (one model,
+one chip; concurrency comes from the batch dimension, which is the TPU-
+correct way to get throughput).
+
+CLI:
+    python -m gvcnn_tf_tpu.serve --config mn40_12view \
+        --checkpoint_dir /ckpts/run1 --port 8390 --serve_batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvcnn_tf_tpu import metrics as metrics_lib
+from gvcnn_tf_tpu.configs import GVCNNConfig, add_flags, config_from_flags
+from gvcnn_tf_tpu.models.gvcnn import init_model
+
+
+class InferenceEngine:
+    """Jit-compiled, fixed-batch forward with pad-and-mask semantics."""
+
+    def __init__(
+        self,
+        config: GVCNNConfig,
+        checkpoint_dir: Optional[str] = None,
+        *,
+        state=None,
+        serve_batch_size: int = 8,
+    ):
+        self.config = config
+        self.batch = serve_batch_size
+        model, init_vars = init_model(config, jax.random.key(config.train.seed))
+        if state is not None:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        elif checkpoint_dir:
+            from gvcnn_tf_tpu.checkpoint import Checkpointer
+
+            target = {
+                "params": init_vars["params"],
+                "batch_stats": init_vars.get("batch_stats", {}),
+            }
+            variables = Checkpointer(checkpoint_dir).restore_partial(target)
+        else:
+            variables = init_vars
+        self._variables = variables
+        self._model = model
+        self._lock = threading.Lock()
+
+        @jax.jit
+        def forward(variables, x):
+            logits, ep = model.apply(variables, x, train=False)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            scores = ep.get("view_discrimination_scores")
+            return jnp.argmax(probs, -1), jnp.max(probs, -1), scores
+
+        self._forward = forward
+        # Warm the compile so the first request is fast.
+        d = config.data
+        self._input_shape = (serve_batch_size, d.num_views, d.height,
+                             d.width, 3)
+        out = self._forward(variables, jnp.zeros(self._input_shape, jnp.float32))
+        jax.block_until_ready(out)
+
+    def predict(self, views: np.ndarray):
+        """views (N, V, H, W, 3) -> list of result dicts (chunked/padded)."""
+        if views.ndim == 4:
+            views = views[None]
+        if views.shape[1:] != self._input_shape[1:]:
+            raise ValueError(
+                f"expected views shaped (N,) + {self._input_shape[1:]}, got "
+                f"{views.shape}"
+            )
+        results = []
+        with self._lock:
+            for start in range(0, len(views), self.batch):
+                chunk = views[start : start + self.batch]
+                n = len(chunk)
+                if n < self.batch:   # pad to the compiled batch
+                    pad = np.zeros((self.batch - n,) + chunk.shape[1:],
+                                   chunk.dtype)
+                    chunk = np.concatenate([chunk, pad])
+                pred, prob, scores = self._forward(
+                    self._variables, jnp.asarray(chunk, jnp.float32)
+                )
+                pred, prob = np.asarray(pred), np.asarray(prob)
+                scores = None if scores is None else np.asarray(scores)
+                for i in range(n):
+                    rec = {
+                        "class_index": int(pred[i]),
+                        "probability": float(prob[i]),
+                    }
+                    if scores is not None:
+                        rec["view_scores"] = scores[i].tolist()
+                    results.append(rec)
+        return results
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            data = body if isinstance(body, bytes) else body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, "ok", "text/plain")
+            elif self.path == "/info":
+                d = engine.config.data
+                self._send(200, json.dumps({
+                    "model": engine.config.model,
+                    "backbone": engine.config.backbone,
+                    "num_classes": d.num_classes,
+                    "num_views": d.num_views,
+                    "input": [d.num_views, d.height, d.width, 3],
+                    "serve_batch_size": engine.batch,
+                }))
+            else:
+                self._send(404, json.dumps({"error": "not found"}))
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, json.dumps({"error": "not found"}))
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = self.rfile.read(length)
+                with np.load(io.BytesIO(payload)) as z:
+                    views = np.asarray(z["views"], np.float32)
+                results = engine.predict(views)
+                self._send(200, json.dumps(results))
+            except KeyError:
+                self._send(400, json.dumps(
+                    {"error": "npz must contain an array named 'views'"}))
+            except ValueError as e:
+                self._send(400, json.dumps({"error": str(e)}))
+            except Exception as e:  # malformed payloads etc.
+                self._send(400, json.dumps(
+                    {"error": f"bad request: {type(e).__name__}: {e}"}))
+
+    return Handler
+
+
+def serve(config, checkpoint_dir=None, *, state=None, port=8390,
+          serve_batch_size=8, block=True):
+    """Start the server; returns (httpd, thread) when block=False."""
+    engine = InferenceEngine(config, checkpoint_dir, state=state,
+                             serve_batch_size=serve_batch_size)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(engine))
+    metrics_lib.log(f"serving on :{httpd.server_address[1]}")
+    if block:
+        httpd.serve_forever()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, t
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="gvcnn_tf_tpu inference server")
+    add_flags(p)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--port", type=int, default=8390)
+    p.add_argument("--serve_batch_size", type=int, default=8)
+    args = p.parse_args(argv)
+    config = config_from_flags(args)
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    serve(
+        config,
+        checkpoint_dir=args.checkpoint_dir or config.train.train_logdir,
+        port=args.port,
+        serve_batch_size=args.serve_batch_size,
+    )
+
+
+if __name__ == "__main__":
+    main()

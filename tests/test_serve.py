@@ -1,0 +1,86 @@
+"""Inference-server tests: real HTTP round-trip against a live server."""
+
+import dataclasses
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gvcnn_tf_tpu.configs import get_config
+from gvcnn_tf_tpu.serve import serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, height=32, width=32, num_views=2,
+                                 batch_size=2),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+    )
+    httpd, thread = serve(cfg, checkpoint_dir=None, port=0,
+                          serve_batch_size=2, block=False)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", cfg
+    httpd.shutdown()
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz_and_info(server):
+    base, cfg = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert r.read() == b"ok"
+    with urllib.request.urlopen(base + "/info", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["num_views"] == 2 and info["num_classes"] == 10
+
+
+def test_predict_roundtrip(server):
+    base, cfg = server
+    rng = np.random.RandomState(0)
+    views = rng.rand(3, 2, 32, 32, 3).astype(np.float32) * 2 - 1
+    buf = io.BytesIO()
+    np.savez(buf, views=views)
+    status, results = _post(base + "/predict", buf.getvalue())
+    assert status == 200
+    assert len(results) == 3            # chunked: 2 + padded 1
+    for r in results:
+        assert 0 <= r["class_index"] < 10
+        assert 0 < r["probability"] <= 1
+        assert len(r["view_scores"]) == 2
+
+
+def test_predict_single_shape_4d(server):
+    base, cfg = server
+    views = np.zeros((2, 32, 32, 3), np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, views=views)
+    status, results = _post(base + "/predict", buf.getvalue())
+    assert status == 200 and len(results) == 1
+
+
+def test_predict_bad_payloads(server):
+    base, _ = server
+    status, err = _post(base + "/predict", b"not an npz")
+    assert status == 400 and "error" in err
+
+    buf = io.BytesIO()
+    np.savez(buf, wrong_key=np.zeros((1, 2, 32, 32, 3), np.float32))
+    status, err = _post(base + "/predict", buf.getvalue())
+    assert status == 400 and "views" in err["error"]
+
+    buf = io.BytesIO()
+    np.savez(buf, views=np.zeros((1, 2, 16, 16, 3), np.float32))  # wrong HW
+    status, err = _post(base + "/predict", buf.getvalue())
+    assert status == 400 and "expected" in err["error"]
