@@ -92,6 +92,11 @@ class GVCNNConfig:
     # a per-view sigmoid.  Both are supported; softmax is the parity default.
     score_squash: str = "softmax"        # softmax | sigmoid | sigmoid_log
     dropout_keep_prob: float = 0.8       # slim inception_v1 head default
+    # BatchNorm EMA decay.  None = backbone's slim default (0.9997 for the
+    # inceptions, 0.997 for resnet).  slim's 0.9997 needs thousands of steps
+    # before running statistics are usable at eval — short runs should lower
+    # this (e.g. 0.9) or eval sits at chance while train accuracy is high.
+    bn_momentum: Optional[float] = None
     # Multi-view on/off: False = plain single-view classifier (BASELINE
     # config 1: backbone + linear head, no grouping module).
     multi_view: bool = True
@@ -216,6 +221,8 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="comma-separated scope prefixes to skip on warm-start")
     p.add_argument("--backbone", default=None)
     p.add_argument("--model", default=None, help="gvcnn | mvcnn")
+    p.add_argument("--bn_momentum", type=float, default=None,
+                   help="BN EMA decay; lower (e.g. 0.9) for short runs")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -231,6 +238,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("checkpoint_path", train_kw), ("seed", train_kw),
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
+        ("bn_momentum", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

@@ -23,7 +23,6 @@ import os
 import re
 from typing import Dict, Iterator, List, Sequence, Tuple
 
-import numpy as np
 
 
 def _tf():

@@ -40,6 +40,7 @@ class ConvBNReLU(nn.Module):
     kernel: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,7 +57,7 @@ class ConvBNReLU(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9997,          # slim BN decay
+            momentum=self.bn_momentum,  # slim BN decay (0.9997 default)
             epsilon=0.001,            # slim BN eps
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -85,17 +86,18 @@ class InceptionBlock(nn.Module):
     b2: int
     b3: int
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        d = self.dtype
-        br0 = ConvBNReLU(self.b0, (1, 1), dtype=d, name="Branch_0_Conv2d_0a_1x1")(x, train)
-        br1 = ConvBNReLU(self.b1_reduce, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, name="Branch_1_Conv2d_0b_3x3")(br1, train)
-        br2 = ConvBNReLU(self.b2_reduce, (1, 1), dtype=d, name="Branch_2_Conv2d_0a_1x1")(x, train)
-        br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, name="Branch_2_Conv2d_0b_3x3")(br2, train)
+        d, m = self.dtype, self.bn_momentum
+        br0 = ConvBNReLU(self.b0, (1, 1), dtype=d, bn_momentum=m, name="Branch_0_Conv2d_0a_1x1")(x, train)
+        br1 = ConvBNReLU(self.b1_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0b_3x3")(br1, train)
+        br2 = ConvBNReLU(self.b2_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0a_1x1")(x, train)
+        br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0b_3x3")(br2, train)
         br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, name="Branch_3_Conv2d_0b_1x1")(br3, train)
+        br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m, name="Branch_3_Conv2d_0b_1x1")(br3, train)
         return jnp.concatenate([br0, br1, br2, br3], axis=-1)
 
 
@@ -142,12 +144,14 @@ class InceptionV1Base(nn.Module):
 
     final_endpoint: str = "Mixed_5c"
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     # Class-level metadata for the registry / GVCNN assembly.
     DEFAULT_RAW_ENDPOINT = "Mixed_3c"
     DEFAULT_FINAL_ENDPOINT = "Mixed_5c"
     DESCRIPTOR_DIM = 1024
     NAME = "InceptionV1"
+    ENDPOINTS = ENDPOINTS
     ENDPOINT_CHANNELS = ENDPOINT_CHANNELS
 
     @nn.compact
@@ -161,14 +165,16 @@ class InceptionV1Base(nn.Module):
             if kind == "conv":
                 _, feats, kernel, stride = spec
                 x = ConvBNReLU(feats, kernel, stride, dtype=self.dtype,
-                               name=name)(x, train)
+                               bn_momentum=self.bn_momentum, name=name)(x, train)
             elif kind == "pool":
                 _, kernel, stride = spec
                 x = nn.max_pool(x, kernel, strides=stride, padding="SAME")
             else:
                 _, b0, b1r, b1, b2r, b2, b3 = spec
                 x = InceptionBlock(b0, b1r, b1, b2r, b2, b3,
-                                   dtype=self.dtype, name=name)(x, train)
+                                   dtype=self.dtype,
+                                   bn_momentum=self.bn_momentum,
+                                   name=name)(x, train)
             endpoints[name] = x
             if name == self.final_endpoint:
                 return x, endpoints

@@ -16,7 +16,7 @@ from typing import Any, Dict, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from gvcnn_tf_tpu.models.backbones.inception_v1 import ConvBNReLU
+
 
 
 class _Conv(nn.Module):
@@ -27,13 +27,14 @@ class _Conv(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: str = "SAME"
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding=self.padding, use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9997,
+        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          epsilon=0.001, dtype=self.dtype,
                          param_dtype=jnp.float32, use_scale=False,
                          name="BatchNorm")(x)
@@ -42,32 +43,34 @@ class _Conv(nn.Module):
 
 class InceptionA(nn.Module):
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train=False):
         d = self.dtype
-        b0 = _Conv(96, (1, 1), dtype=d, name="Branch_0_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(64, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(96, (3, 3), dtype=d, name="Branch_1_Conv2d_0b_3x3")(b1, train)
-        b2 = _Conv(64, (1, 1), dtype=d, name="Branch_2_Conv2d_0a_1x1")(x, train)
-        b2 = _Conv(96, (3, 3), dtype=d, name="Branch_2_Conv2d_0b_3x3")(b2, train)
-        b2 = _Conv(96, (3, 3), dtype=d, name="Branch_2_Conv2d_0c_3x3")(b2, train)
+        b0 = _Conv(96, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_0_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(64, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(96, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0b_3x3")(b1, train)
+        b2 = _Conv(64, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0a_1x1")(x, train)
+        b2 = _Conv(96, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0b_3x3")(b2, train)
+        b2 = _Conv(96, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0c_3x3")(b2, train)
         b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b3 = _Conv(96, (1, 1), dtype=d, name="Branch_3_Conv2d_0b_1x1")(b3, train)
+        b3 = _Conv(96, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_3_Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], -1)          # 384
 
 
 class ReductionA(nn.Module):
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train=False):
         d = self.dtype
-        b0 = _Conv(384, (3, 3), (2, 2), "VALID", dtype=d,
+        b0 = _Conv(384, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Branch_0_Conv2d_1a_3x3")(x, train)
-        b1 = _Conv(192, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(224, (3, 3), dtype=d, name="Branch_1_Conv2d_0b_3x3")(b1, train)
-        b1 = _Conv(256, (3, 3), (2, 2), "VALID", dtype=d,
+        b1 = _Conv(192, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(224, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0b_3x3")(b1, train)
+        b1 = _Conv(256, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Branch_1_Conv2d_1a_3x3")(b1, train)
         b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         return jnp.concatenate([b0, b1, b2], -1)              # 1024
@@ -75,37 +78,39 @@ class ReductionA(nn.Module):
 
 class InceptionB(nn.Module):
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train=False):
         d = self.dtype
-        b0 = _Conv(384, (1, 1), dtype=d, name="Branch_0_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(192, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(224, (1, 7), dtype=d, name="Branch_1_Conv2d_0b_1x7")(b1, train)
-        b1 = _Conv(256, (7, 1), dtype=d, name="Branch_1_Conv2d_0c_7x1")(b1, train)
-        b2 = _Conv(192, (1, 1), dtype=d, name="Branch_2_Conv2d_0a_1x1")(x, train)
-        b2 = _Conv(192, (7, 1), dtype=d, name="Branch_2_Conv2d_0b_7x1")(b2, train)
-        b2 = _Conv(224, (1, 7), dtype=d, name="Branch_2_Conv2d_0c_1x7")(b2, train)
-        b2 = _Conv(224, (7, 1), dtype=d, name="Branch_2_Conv2d_0d_7x1")(b2, train)
-        b2 = _Conv(256, (1, 7), dtype=d, name="Branch_2_Conv2d_0e_1x7")(b2, train)
+        b0 = _Conv(384, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_0_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(192, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(224, (1, 7), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0b_1x7")(b1, train)
+        b1 = _Conv(256, (7, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0c_7x1")(b1, train)
+        b2 = _Conv(192, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0a_1x1")(x, train)
+        b2 = _Conv(192, (7, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0b_7x1")(b2, train)
+        b2 = _Conv(224, (1, 7), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0c_1x7")(b2, train)
+        b2 = _Conv(224, (7, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0d_7x1")(b2, train)
+        b2 = _Conv(256, (1, 7), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0e_1x7")(b2, train)
         b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b3 = _Conv(128, (1, 1), dtype=d, name="Branch_3_Conv2d_0b_1x1")(b3, train)
+        b3 = _Conv(128, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_3_Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], -1)          # 1024
 
 
 class ReductionB(nn.Module):
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train=False):
         d = self.dtype
-        b0 = _Conv(192, (1, 1), dtype=d, name="Branch_0_Conv2d_0a_1x1")(x, train)
-        b0 = _Conv(192, (3, 3), (2, 2), "VALID", dtype=d,
+        b0 = _Conv(192, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_0_Conv2d_0a_1x1")(x, train)
+        b0 = _Conv(192, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Branch_0_Conv2d_1a_3x3")(b0, train)
-        b1 = _Conv(256, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(256, (1, 7), dtype=d, name="Branch_1_Conv2d_0b_1x7")(b1, train)
-        b1 = _Conv(320, (7, 1), dtype=d, name="Branch_1_Conv2d_0c_7x1")(b1, train)
-        b1 = _Conv(320, (3, 3), (2, 2), "VALID", dtype=d,
+        b1 = _Conv(256, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(256, (1, 7), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0b_1x7")(b1, train)
+        b1 = _Conv(320, (7, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0c_7x1")(b1, train)
+        b1 = _Conv(320, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Branch_1_Conv2d_1a_3x3")(b1, train)
         b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         return jnp.concatenate([b0, b1, b2], -1)              # 1536
@@ -113,21 +118,22 @@ class ReductionB(nn.Module):
 
 class InceptionC(nn.Module):
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, x, train=False):
         d = self.dtype
-        b0 = _Conv(256, (1, 1), dtype=d, name="Branch_0_Conv2d_0a_1x1")(x, train)
-        b1 = _Conv(384, (1, 1), dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        b1a = _Conv(256, (1, 3), dtype=d, name="Branch_1_Conv2d_0b_1x3")(b1, train)
-        b1b = _Conv(256, (3, 1), dtype=d, name="Branch_1_Conv2d_0c_3x1")(b1, train)
-        b2 = _Conv(384, (1, 1), dtype=d, name="Branch_2_Conv2d_0a_1x1")(x, train)
-        b2 = _Conv(448, (3, 1), dtype=d, name="Branch_2_Conv2d_0b_3x1")(b2, train)
-        b2 = _Conv(512, (1, 3), dtype=d, name="Branch_2_Conv2d_0c_1x3")(b2, train)
-        b2a = _Conv(256, (1, 3), dtype=d, name="Branch_2_Conv2d_0d_1x3")(b2, train)
-        b2b = _Conv(256, (3, 1), dtype=d, name="Branch_2_Conv2d_0e_3x1")(b2, train)
+        b0 = _Conv(256, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_0_Conv2d_0a_1x1")(x, train)
+        b1 = _Conv(384, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1a = _Conv(256, (1, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0b_1x3")(b1, train)
+        b1b = _Conv(256, (3, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0c_3x1")(b1, train)
+        b2 = _Conv(384, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0a_1x1")(x, train)
+        b2 = _Conv(448, (3, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0b_3x1")(b2, train)
+        b2 = _Conv(512, (1, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0c_1x3")(b2, train)
+        b2a = _Conv(256, (1, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0d_1x3")(b2, train)
+        b2b = _Conv(256, (3, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_2_Conv2d_0e_3x1")(b2, train)
         b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b3 = _Conv(256, (1, 1), dtype=d, name="Branch_3_Conv2d_0b_1x1")(b3, train)
+        b3 = _Conv(256, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_3_Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1a, b1b, b2a, b2b, b3], -1)  # 1536
 
 
@@ -147,11 +153,13 @@ class InceptionV4Base(nn.Module):
 
     final_endpoint: str = "Mixed_7d"
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     DEFAULT_RAW_ENDPOINT = "Mixed_5e"
     DEFAULT_FINAL_ENDPOINT = "Mixed_7d"
     DESCRIPTOR_DIM = 1536
     NAME = "InceptionV4"
+    ENDPOINTS = ENDPOINTS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -165,45 +173,45 @@ class InceptionV4Base(nn.Module):
             endpoints[name] = val
             return name == self.final_endpoint
 
-        net = _Conv(32, (3, 3), (2, 2), "VALID", dtype=d,
+        net = _Conv(32, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                     name="Conv2d_1a_3x3")(x, train)
         if done("Conv2d_1a_3x3", net):
             return net, endpoints
-        net = _Conv(32, (3, 3), padding="VALID", dtype=d,
+        net = _Conv(32, (3, 3), padding="VALID", dtype=d, bn_momentum=self.bn_momentum,
                     name="Conv2d_2a_3x3")(net, train)
         if done("Conv2d_2a_3x3", net):
             return net, endpoints
-        net = _Conv(64, (3, 3), dtype=d, name="Conv2d_2b_3x3")(net, train)
+        net = _Conv(64, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Conv2d_2b_3x3")(net, train)
         if done("Conv2d_2b_3x3", net):
             return net, endpoints
 
         # Mixed_3a: maxpool/2 || conv 96/2 VALID
         p = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
-        c = _Conv(96, (3, 3), (2, 2), "VALID", dtype=d,
+        c = _Conv(96, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                   name="Mixed_3a_Branch_1_Conv2d_0a_3x3")(net, train)
         net = jnp.concatenate([p, c], -1)                     # 160
         if done("Mixed_3a", net):
             return net, endpoints
 
         # Mixed_4a: 1x1->3x3 VALID || 1x1->1x7->7x1->3x3 VALID
-        b0 = _Conv(64, (1, 1), dtype=d,
+        b0 = _Conv(64, (1, 1), dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_4a_Branch_0_Conv2d_0a_1x1")(net, train)
-        b0 = _Conv(96, (3, 3), padding="VALID", dtype=d,
+        b0 = _Conv(96, (3, 3), padding="VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_4a_Branch_0_Conv2d_1a_3x3")(b0, train)
-        b1 = _Conv(64, (1, 1), dtype=d,
+        b1 = _Conv(64, (1, 1), dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_4a_Branch_1_Conv2d_0a_1x1")(net, train)
-        b1 = _Conv(64, (1, 7), dtype=d,
+        b1 = _Conv(64, (1, 7), dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_4a_Branch_1_Conv2d_0b_1x7")(b1, train)
-        b1 = _Conv(64, (7, 1), dtype=d,
+        b1 = _Conv(64, (7, 1), dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_4a_Branch_1_Conv2d_0c_7x1")(b1, train)
-        b1 = _Conv(96, (3, 3), padding="VALID", dtype=d,
+        b1 = _Conv(96, (3, 3), padding="VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_4a_Branch_1_Conv2d_1a_3x3")(b1, train)
         net = jnp.concatenate([b0, b1], -1)                   # 192
         if done("Mixed_4a", net):
             return net, endpoints
 
         # Mixed_5a: conv 192/2 VALID || maxpool/2
-        c = _Conv(192, (3, 3), (2, 2), "VALID", dtype=d,
+        c = _Conv(192, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                   name="Mixed_5a_Branch_0_Conv2d_1a_3x3")(net, train)
         p = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
         net = jnp.concatenate([c, p], -1)                     # 384
@@ -211,22 +219,22 @@ class InceptionV4Base(nn.Module):
             return net, endpoints
 
         for name in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_5e"]:
-            net = InceptionA(dtype=d, name=name)(net, train)
+            net = InceptionA(dtype=d, bn_momentum=self.bn_momentum, name=name)(net, train)
             if done(name, net):
                 return net, endpoints
-        net = ReductionA(dtype=d, name="Mixed_6a")(net, train)
+        net = ReductionA(dtype=d, bn_momentum=self.bn_momentum, name="Mixed_6a")(net, train)
         if done("Mixed_6a", net):
             return net, endpoints
         for name in ["Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
                      "Mixed_6f", "Mixed_6g", "Mixed_6h"]:
-            net = InceptionB(dtype=d, name=name)(net, train)
+            net = InceptionB(dtype=d, bn_momentum=self.bn_momentum, name=name)(net, train)
             if done(name, net):
                 return net, endpoints
-        net = ReductionB(dtype=d, name="Mixed_7a")(net, train)
+        net = ReductionB(dtype=d, bn_momentum=self.bn_momentum, name="Mixed_7a")(net, train)
         if done("Mixed_7a", net):
             return net, endpoints
         for name in ["Mixed_7b", "Mixed_7c", "Mixed_7d"]:
-            net = InceptionC(dtype=d, name=name)(net, train)
+            net = InceptionC(dtype=d, bn_momentum=self.bn_momentum, name=name)(net, train)
             if done(name, net):
                 return net, endpoints
         return net, endpoints

@@ -21,13 +21,14 @@ class _ConvBN(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     relu: bool = True
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding="SAME", use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.997,
+        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="BatchNorm")(x)
         return nn.relu(x) if self.relu else x
@@ -39,6 +40,7 @@ class Bottleneck(nn.Module):
     width: int                 # bottleneck width; output = 4 * width
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.997
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,11 +49,11 @@ class Bottleneck(nn.Module):
         shortcut = x
         if x.shape[-1] != out_ch or self.stride != 1:
             shortcut = _ConvBN(out_ch, (1, 1), (self.stride, self.stride),
-                               relu=False, dtype=d, name="shortcut")(x, train)
-        y = _ConvBN(self.width, (1, 1), dtype=d, name="conv1")(x, train)
+                               relu=False, dtype=d, bn_momentum=self.bn_momentum, name="shortcut")(x, train)
+        y = _ConvBN(self.width, (1, 1), dtype=d, bn_momentum=self.bn_momentum, name="conv1")(x, train)
         y = _ConvBN(self.width, (3, 3), (self.stride, self.stride),
-                    dtype=d, name="conv2")(y, train)
-        y = _ConvBN(out_ch, (1, 1), relu=False, dtype=d, name="conv3")(y, train)
+                    dtype=d, bn_momentum=self.bn_momentum, name="conv2")(y, train)
+        y = _ConvBN(out_ch, (1, 1), relu=False, dtype=d, bn_momentum=self.bn_momentum, name="conv3")(y, train)
         return nn.relu(shortcut + y)
 
 
@@ -64,11 +66,13 @@ ENDPOINTS = ("conv1",) + tuple(b[0] for b in _BLOCKS)
 class ResNet50Base(nn.Module):
     final_endpoint: str = "block4"
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.997
 
     DEFAULT_RAW_ENDPOINT = "block2"
     DEFAULT_FINAL_ENDPOINT = "block4"
     DESCRIPTOR_DIM = 2048
     NAME = "ResNet50"
+    ENDPOINTS = ENDPOINTS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,7 +82,7 @@ class ResNet50Base(nn.Module):
         x = x.astype(d)
         endpoints: Dict[str, jnp.ndarray] = {}
 
-        net = _ConvBN(64, (7, 7), (2, 2), dtype=d, name="conv1")(x, train)
+        net = _ConvBN(64, (7, 7), (2, 2), dtype=d, bn_momentum=self.bn_momentum, name="conv1")(x, train)
         net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="SAME")
         endpoints["conv1"] = net
         if self.final_endpoint == "conv1":
@@ -87,7 +91,7 @@ class ResNet50Base(nn.Module):
         for name, width, units, stride in _BLOCKS:
             for u in range(units):
                 net = Bottleneck(
-                    width, stride if u == 0 else 1, dtype=d,
+                    width, stride if u == 0 else 1, dtype=d, bn_momentum=self.bn_momentum,
                     name=f"{name}_unit{u + 1}",
                 )(net, train)
             endpoints[name] = net

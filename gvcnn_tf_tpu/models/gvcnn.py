@@ -40,6 +40,31 @@ def _global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(x, axis=(1, 2))
 
 
+def _resolve_endpoints(cfg: GVCNNConfig, backbone_cls) -> Tuple[str, str]:
+    """(raw_endpoint, final_endpoint) valid for the chosen backbone.
+
+    Config endpoints name Inception-v1 layers by default; when the backbone
+    is swapped (--backbone inception_v3/...), endpoints that don't exist
+    there fall back to the backbone's documented defaults instead of a
+    KeyError deep inside tracing.
+    """
+    eps = getattr(backbone_cls, "ENDPOINTS", None)
+    raw, fin = cfg.raw_endpoint, cfg.final_endpoint
+    if eps is not None:
+        if raw not in eps:
+            raw = backbone_cls.DEFAULT_RAW_ENDPOINT
+        if fin not in eps:
+            fin = backbone_cls.DEFAULT_FINAL_ENDPOINT
+        # Endpoint names collide across backbones (v1 and v3 both have a
+        # "Mixed_5c" at very different depths); if the surviving pair is
+        # out of order — the scoring tap at/after the final endpoint — the
+        # config was written for another backbone: use this one's defaults.
+        if eps.index(raw) >= eps.index(fin):
+            raw = backbone_cls.DEFAULT_RAW_ENDPOINT
+            fin = backbone_cls.DEFAULT_FINAL_ENDPOINT
+    return raw, fin
+
+
 class GroupingModule(nn.Module):
     """View-discrimination FCN (reference C4a).
 
@@ -52,10 +77,12 @@ class GroupingModule(nn.Module):
 
     hidden: int = 128
     dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
 
     @nn.compact
     def __call__(self, raw_feats, train: bool = False):
         x = ConvBNReLU(self.hidden, (1, 1), dtype=self.dtype,
+                       bn_momentum=self.bn_momentum,
                        name="Conv2d_score_1x1")(raw_feats, train)
         x = nn.Conv(1, (1, 1), padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="Conv2d_score_logit")(x)
@@ -79,9 +106,12 @@ class SingleViewClassifier(nn.Module):
         if x.ndim == 5:            # accept (B, 1, H, W, 3) for API parity
             x = x[:, 0]
         backbone_cls = get_backbone(cfg.backbone)
+        _, final_ep = _resolve_endpoints(cfg, backbone_cls)
         feats, endpoints = backbone_cls(
-            final_endpoint=cfg.final_endpoint, dtype=dtype,
+            final_endpoint=final_ep, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),
+            **({} if cfg.bn_momentum is None
+               else {"bn_momentum": cfg.bn_momentum}),
         )(x, train)
         net = _global_avg_pool(feats.astype(jnp.float32))
         net = nn.Dropout(rate=1.0 - cfg.dropout_keep_prob,
@@ -114,14 +144,17 @@ class GVCNN(nn.Module):
         xf = x.reshape((B * V,) + x.shape[2:])
 
         backbone_cls = get_backbone(cfg.backbone)
+        raw_ep, final_ep = _resolve_endpoints(cfg, backbone_cls)
         if cfg.remat_backbone:
             # Recompute backbone activations in the backward pass instead of
             # keeping them in HBM (SURVEY.md: remat to trade FLOPs for
             # memory/bandwidth).  Static argnums: `train` is a Python bool.
             backbone_cls = nn.remat(backbone_cls, static_argnums=(2,))
         feats, endpoints = backbone_cls(
-            final_endpoint=cfg.final_endpoint, dtype=dtype,
+            final_endpoint=final_ep, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),
+            **({} if cfg.bn_momentum is None
+               else {"bn_momentum": cfg.bn_momentum}),
         )(xf, train)
 
         # Final view descriptors: final endpoint + GAP (fp32 from here on —
@@ -130,10 +163,12 @@ class GVCNN(nn.Module):
         descs = descs.reshape(B, V, -1)
 
         # Raw view descriptors -> discrimination scores (C4a).
-        raw_feats = endpoints[cfg.raw_endpoint]
-        raw_scores = GroupingModule(dtype=dtype, name="GroupingModule")(
-            raw_feats, train
-        ).reshape(B, V)
+        raw_feats = endpoints[raw_ep]
+        raw_scores = GroupingModule(
+            dtype=dtype, name="GroupingModule",
+            **({} if cfg.bn_momentum is None
+               else {"bn_momentum": cfg.bn_momentum}),
+        )(raw_feats, train).reshape(B, V)
         scores = G.squash_scores(raw_scores, cfg.score_squash)    # (B, V)
 
         # Grouping + pooling + fusion (C4b-C4e), Pallas-fused when enabled
@@ -178,9 +213,12 @@ class MVCNN(nn.Module):
         B, V = x.shape[0], x.shape[1]
         xf = x.reshape((B * V,) + x.shape[2:])
         backbone_cls = get_backbone(cfg.backbone)
+        _, final_ep = _resolve_endpoints(cfg, backbone_cls)
         feats, _ = backbone_cls(
-            final_endpoint=cfg.final_endpoint, dtype=dtype,
+            final_endpoint=final_ep, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),
+            **({} if cfg.bn_momentum is None
+               else {"bn_momentum": cfg.bn_momentum}),
         )(xf, train)
         descs = _global_avg_pool(feats.astype(jnp.float32)).reshape(B, V, -1)
         pooled = jnp.max(descs, axis=1)                   # view pooling

@@ -146,18 +146,6 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model) -> Callable:
-    def eval_step(variables, batch):
-        logits, _ = model.apply(variables, batch["views"], train=False)
-        pred = jnp.argmax(logits.astype(jnp.float32), -1)
-        return {
-            "correct": jnp.sum((pred == batch["label"]).astype(jnp.int32)),
-            "count": jnp.asarray(batch["label"].shape[0], jnp.int32),
-        }
-
-    return eval_step
-
-
 def create_train_state(
     config: GVCNNConfig,
     rng: jax.Array,

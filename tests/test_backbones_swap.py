@@ -96,3 +96,43 @@ def test_real_forward_resnet_small():
     )
     feats, _ = jax.jit(functools.partial(model.apply, train=False))(variables, x)
     assert feats.shape == (1, 8, 8, 256)
+
+
+def test_inception_v3_shapes_299():
+    _, feats, ep = shapes_of("inception_v3", 299)
+    # Canonical slim inception_v3 tower shapes.
+    assert ep["Conv2d_1a_3x3"].shape == (1, 149, 149, 32)
+    assert ep["MaxPool_5a_3x3"].shape == (1, 35, 35, 192)
+    assert ep["Mixed_5b"].shape == (1, 35, 35, 256)
+    assert ep["Mixed_5d"].shape == (1, 35, 35, 288)
+    assert ep["Mixed_6a"].shape == (1, 17, 17, 768)
+    assert ep["Mixed_6e"].shape == (1, 17, 17, 768)
+    assert ep["Mixed_7a"].shape == (1, 8, 8, 1280)
+    assert feats.shape == (1, 8, 8, 2048)
+
+
+def test_gvcnn_with_inception_v3():
+    import dataclasses
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.models import build_model
+    import jax, jax.numpy as jnp, functools
+
+    cfg = get_config("mn40_12view").replace(
+        backbone="inception_v3", raw_endpoint="Mixed_5d",
+        final_endpoint="Mixed_7c",
+    )
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, height=160, width=160,
+                                 batch_size=1, num_views=2),
+        compute_dtype="float32", use_pallas_grouping=False,
+    )
+    model = build_model(cfg)
+    x = jax.ShapeDtypeStruct((1, 2, 160, 160, 3), jnp.float32)
+    variables = jax.eval_shape(
+        functools.partial(model.init, train=False), {"params": jax.random.key(0)}, x
+    )
+    logits, ep = jax.eval_shape(
+        functools.partial(model.apply, train=False), variables, x
+    )
+    assert logits.shape == (1, 40)
+    assert ep["shape_descriptor"].shape == (1, 2048)

@@ -49,6 +49,17 @@ def test_bf16_model_has_no_f32_convolutions():
     assert not bad, f"f32 convolutions leaked into bf16 model: {bad[:2]}"
 
 
+def test_stem_conv_padding_matches_tf_same():
+    """TF 'SAME' pads bottom/right-heavy; for the stride-2 7x7 stem on an
+    even input the pad must be [[2,3],[2,3]] (SURVEY.md Appendix A warns to
+    verify exactly this — slim checkpoint parity depends on it)."""
+    txt = _lower_text("float32")
+    stem = [l for l in txt.splitlines()
+            if "stablehlo.convolution" in l and "tensor<8x64x64x3xf32>" in l]
+    assert len(stem) == 1
+    assert "pad = [[2, 3], [2, 3]]" in stem[0], stem[0][:200]
+
+
 def test_view_axis_is_folded_not_unrolled():
     """One backbone pass on (B*V=8, ...): exactly one stem conv consuming
     tensor<8x64x64x3x...> and no batch-2/batch-1 stem convs (which would
