@@ -41,6 +41,10 @@ class DataConfig:
     # Host->device transfer dtype for float arrays; bfloat16 halves H2D
     # bandwidth (the model casts to its compute dtype regardless).
     transfer_dtype: str = "float32"      # float32 | bfloat16
+    # Background-thread prefetch producer: overlaps host batch prep with the
+    # device step.  auto = only when the host has a spare core (on a 1-CPU
+    # host the producer starves the dispatcher — measured 7x slower).
+    async_prefetch: str = "auto"         # auto | on | off
 
 
 @dataclasses.dataclass(frozen=True)

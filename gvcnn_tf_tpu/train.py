@@ -27,7 +27,11 @@ import optax
 from gvcnn_tf_tpu import metrics as metrics_lib
 from gvcnn_tf_tpu.checkpoint import Checkpointer, warm_start
 from gvcnn_tf_tpu.configs import GVCNNConfig, add_flags, config_from_flags
-from gvcnn_tf_tpu.data import make_dataset, prefetch_to_device
+from gvcnn_tf_tpu.data import (
+    make_dataset,
+    prefetch_to_device,
+    prefetch_to_device_async,
+)
 from gvcnn_tf_tpu.models.gvcnn import build_model
 from gvcnn_tf_tpu.parallel import (
     create_mesh,
@@ -248,7 +252,16 @@ def train(
 
     if dataset_iter is None:
         dataset_iter = make_dataset(config.data, train=True, seed=tc.seed)
-    it = prefetch_to_device(
+    # Background-producer prefetch overlaps host batch prep with the device
+    # step (SURVEY.md B4) — but only with a spare host core; on a single-CPU
+    # host the producer thread starves dispatch (measured 7x slower).
+    import os as _os
+
+    use_async = config.data.async_prefetch == "on" or (
+        config.data.async_prefetch == "auto" and (_os.cpu_count() or 1) > 1
+    )
+    prefetch_fn = prefetch_to_device_async if use_async else prefetch_to_device
+    it = prefetch_fn(
         dataset_iter,
         size=config.data.prefetch_to_device,
         sharding=dsh,

@@ -1,0 +1,58 @@
+"""Config/flag-system tests (reference tf.app.flags parity, SURVEY.md §5)."""
+
+import pytest
+
+from gvcnn_tf_tpu.configs import (
+    CONFIGS, add_flags, config_from_flags, get_config,
+)
+import argparse
+
+
+def parse(argv):
+    p = argparse.ArgumentParser()
+    add_flags(p)
+    return config_from_flags(p.parse_args(argv))
+
+
+def test_all_named_configs_construct():
+    for name in CONFIGS:
+        cfg = get_config(name)
+        assert cfg.name == name
+
+
+def test_reference_flag_aliases_map():
+    cfg = parse([
+        "--config", "mn40_12view",
+        "--num_views", "8", "--num_group", "4", "--num_classes", "10",
+        "--batch_size", "16", "--learning_rate", "0.02",
+        "--how_many_training_steps", "77", "--optimizer", "adam",
+        "--dataset_dir", "/data/x", "--train_logdir", "/tmp/y",
+        "--checkpoint_exclude_scopes", "Logits,GroupingModule",
+        "--backbone", "resnet50", "--model", "mvcnn",
+        "--bn_momentum", "0.9", "--seed", "3",
+    ])
+    assert cfg.data.num_views == 8
+    assert cfg.num_group == 4
+    assert cfg.data.num_classes == 10
+    assert cfg.data.batch_size == 16
+    assert cfg.train.learning_rate == 0.02
+    assert cfg.train.num_steps == 77
+    assert cfg.train.optimizer == "adam"
+    assert cfg.data.dataset_dir == "/data/x"
+    assert cfg.train.train_logdir == "/tmp/y"
+    assert cfg.train.checkpoint_exclude_scopes == ("Logits", "GroupingModule")
+    assert cfg.backbone == "resnet50"
+    assert cfg.model == "mvcnn"
+    assert cfg.bn_momentum == 0.9
+    assert cfg.train.seed == 3
+
+
+def test_defaults_untouched_without_flags():
+    cfg = parse(["--config", "mn10_8view"])
+    base = get_config("mn10_8view")
+    assert cfg == base
+
+
+def test_unknown_config_rejected():
+    with pytest.raises(KeyError, match="unknown config"):
+        parse(["--config", "nope"])

@@ -110,3 +110,20 @@ def test_prefetch_bf16_transfer():
         np.asarray(dev[0]["views"], np.float32), host[0]["views"],
         atol=0.01,  # bf16 quantization
     )
+
+
+def test_prefetch_async_preserves_order_and_terminates():
+    from gvcnn_tf_tpu.data.prefetch import prefetch_to_device_async
+
+    cfg = DataConfig(dataset="synthetic", num_classes=5, num_views=2,
+                     height=8, width=8, batch_size=2, synthetic_num_shapes=8)
+    host = list(make_dataset(cfg, train=False, num_epochs=1))
+    dev = list(prefetch_to_device_async(iter(host), size=2))
+    assert len(dev) == len(host)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h["label"], np.asarray(d["label"]))
+
+    # Early consumer exit must not deadlock the producer.
+    it = prefetch_to_device_async(iter(host), size=1)
+    next(it)
+    it.close()
