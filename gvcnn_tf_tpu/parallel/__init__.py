@@ -11,3 +11,8 @@ from gvcnn_tf_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+
+from gvcnn_tf_tpu.parallel.multihost import (  # noqa: F401
+    initialize_distributed,
+    make_global_batch,
+)

@@ -197,8 +197,11 @@ def train(
     Returns (final TrainState, last metrics dict).  `dataset_iter` can
     inject a custom host-batch iterator (tests).
     """
+    from gvcnn_tf_tpu.parallel import initialize_distributed
     from gvcnn_tf_tpu.utils import setup_compilation_cache
 
+    # Pod bootstrap (no-op single-process; COORDINATOR_ADDRESS env enables).
+    initialize_distributed()
     setup_compilation_cache()
     tc = config.train
     num_steps = num_steps if num_steps is not None else tc.num_steps

@@ -94,3 +94,25 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    """Pod scaffolding degenerates correctly on one process (SURVEY.md §5:
+    DCN out of scope; this validates the code path the pod would use)."""
+    from gvcnn_tf_tpu.parallel.multihost import (
+        initialize_distributed,
+        make_global_batch,
+    )
+
+    # No COORDINATOR_ADDRESS -> single-process no-op.
+    assert initialize_distributed() is False
+
+    mesh = create_mesh(8)
+    local = {
+        "views": np.arange(8 * 2 * 4, dtype=np.float32).reshape(8, 2, 4),
+        "label": np.arange(8, dtype=np.int32),
+    }
+    gb = make_global_batch(local, mesh)
+    assert gb["views"].shape == (8, 2, 4)          # 1 process = global
+    assert gb["views"].sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(gb["label"]), local["label"])
