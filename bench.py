@@ -86,15 +86,22 @@ def main():
     # Timing note: on the tunneled axon platform block_until_ready returns
     # early, so we sync by fetching a scalar to host — the device_get can
     # only complete after every chained step has executed.
-    warmup, iters = (3, 20) if on_tpu else (1, 2)
+    warmup, iters = (3, 30) if on_tpu else (1, 2)
     for _ in range(warmup):
         state, mets = step(state, batch_data, key)
     float(jax.device_get(mets["loss"]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, mets = step(state, batch_data, key)
-    float(jax.device_get(mets["loss"]))
-    dt = (time.perf_counter() - t0) / iters
+    # Chunked timing (chains of 10 steps per sync) -> median is robust to
+    # tunnel/dispatch jitter while amortizing the host-sync round trip.
+    chunk = 10 if on_tpu else 1
+    samples = []
+    for _ in range(max(iters // chunk, 2)):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            state, mets = step(state, batch_data, key)
+        float(jax.device_get(mets["loss"]))
+        samples.append((time.perf_counter() - t0) / chunk)
+    samples.sort()
+    dt = samples[len(samples) // 2]
 
     n_chips = 1  # single-chip bench (driver runs on one real chip)
     views_per_sec = d.batch_size * d.num_views / dt / n_chips
@@ -126,6 +133,8 @@ def main():
             "shapes_per_sec": round(shapes_per_sec, 2),
             "eval_views_per_sec": round(eval_views_per_sec, 2),
             "step_time_ms": round(dt * 1e3, 2),
+            "step_time_ms_min": round(samples[0] * 1e3, 2),
+            "step_time_ms_max": round(samples[-1] * 1e3, 2),
             "step_flops": step_flops,
             "device": jax.devices()[0].device_kind,
             "batch_shapes": d.batch_size,
