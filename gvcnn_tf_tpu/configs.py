@@ -95,6 +95,11 @@ class GVCNNConfig:
     # reference groups on *softmax* scores over the view axis; the paper uses
     # a per-view sigmoid.  Both are supported; softmax is the parity default.
     score_squash: str = "softmax"        # softmax | sigmoid | sigmoid_log
+    # Group-weight variant (SURVEY.md Appendix B.4 [MED]): the reference
+    # family uses mean (sum/count) of member scores; the paper describes a
+    # ceiling-of-sum variant.  Both selectable so parity doesn't hinge on a
+    # single [MED]-confidence reading.
+    group_weight: str = "mean"           # mean | ceil_sum
     dropout_keep_prob: float = 0.8       # slim inception_v1 head default
     # BatchNorm EMA decay.  None = backbone's slim default (0.9997 for the
     # inceptions, 0.997 for resnet).  slim's 0.9997 needs thousands of steps
@@ -231,6 +236,10 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--model", default=None, help="gvcnn | mvcnn")
     p.add_argument("--bn_momentum", type=float, default=None,
                    help="BN EMA decay; lower (e.g. 0.9) for short runs")
+    p.add_argument("--group_weight", default=None,
+                   help="group weight variant: mean | ceil_sum")
+    p.add_argument("--score_squash", default=None,
+                   help="score squash: softmax | sigmoid | sigmoid_log")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -246,7 +255,8 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("checkpoint_path", train_kw), ("seed", train_kw),
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
-        ("bn_momentum", top_kw),
+        ("bn_momentum", top_kw), ("group_weight", top_kw),
+        ("score_squash", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

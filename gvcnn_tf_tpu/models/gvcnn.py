@@ -175,9 +175,13 @@ class GVCNN(nn.Module):
         # and running on TPU; pure-jnp oracle otherwise.
         if cfg.use_pallas_grouping and jax.default_backend() == "tpu":
             from gvcnn_tf_tpu.ops.pallas_grouping import group_and_fuse_pallas
-            fused, weights, scheme = group_and_fuse_pallas(scores, descs, M)
+            fused, weights, scheme = group_and_fuse_pallas(
+                scores, descs, M, cfg.group_weight
+            )
         else:
-            fused, weights, scheme = G.group_and_fuse(scores, descs, M)
+            fused, weights, scheme = G.group_and_fuse(
+                scores, descs, M, cfg.group_weight
+            )
 
         net = nn.Dropout(rate=1.0 - cfg.dropout_keep_prob,
                          deterministic=not train)(fused)

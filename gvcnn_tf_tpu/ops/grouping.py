@@ -71,21 +71,39 @@ def grouping_scheme(scores: jnp.ndarray, num_group: int) -> jnp.ndarray:
     return jnp.swapaxes(onehot, -1, -2)              # (B, M, V)
 
 
-def grouping_weight(scores: jnp.ndarray, scheme: jnp.ndarray) -> jnp.ndarray:
-    """Group weights = mean member score, normalized over non-empty groups.
+def grouping_weight(
+    scores: jnp.ndarray, scheme: jnp.ndarray, mode: str = "mean"
+) -> jnp.ndarray:
+    """Group weights, normalized over non-empty groups.
 
-    Reference `grouping_weight` [U] (sum/count variant, SURVEY.md Appendix
-    B.4).  Empty groups get weight 0.  Returns (B, M), rows summing to 1
-    whenever at least one group is non-empty.
+    `mode` selects the raw (pre-normalization) weight per group j:
+      * "mean"     — sum(member scores) / count (reference `grouping_weight`
+        [U], the sum/count variant of SURVEY.md Appendix B.4 [MED]).
+      * "ceil_sum" — ceil(sum(member scores)) / count, the GVCNN paper's
+        ceiling-of-sum variant (SURVEY.md Appendix B.4).  The reference's
+        exact semantics are [MED]-confidence, so both are selectable
+        (GVCNNConfig.group_weight).
+
+    Empty groups get weight 0.  Returns (B, M), rows summing to 1 whenever
+    at least one group is non-empty.
 
     Gradient note: `scheme` must already be stop_gradient'ed by the caller;
     scores flow through the sum so d(weight)/d(score) matches the reference.
+    For "ceil_sum" the ceil is applied straight-through (forward = ceil,
+    gradient = identity) so the scoring FCN still receives gradient through
+    the weights — a plain ceil has zero gradient a.e., which combined with
+    the stop_gradient'ed scheme would leave the FCN untrainable.
     """
     counts = jnp.sum(scheme, axis=-1)                          # (B, M)
     ssum = jnp.einsum("bmv,bv->bm", scheme, scores)            # (B, M)
-    mean = ssum / jnp.maximum(counts, 1.0)                     # 0 for empty
-    total = jnp.sum(mean, axis=-1, keepdims=True)
-    return mean / jnp.maximum(total, 1e-12)
+    if mode == "ceil_sum":
+        # straight-through ceil: forward ceil(ssum), backward d/dssum = 1
+        ssum = ssum + jax.lax.stop_gradient(jnp.ceil(ssum) - ssum)
+    elif mode != "mean":
+        raise ValueError(f"unknown group weight mode {mode!r}")
+    raw = ssum / jnp.maximum(counts, 1.0)                      # 0 for empty
+    total = jnp.sum(raw, axis=-1, keepdims=True)
+    return raw / jnp.maximum(total, 1e-12)
 
 
 def view_pooling(descs: jnp.ndarray, scheme: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +135,10 @@ def group_fusion(pooled: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
 
 
 def group_and_fuse(
-    scores: jnp.ndarray, descs: jnp.ndarray, num_group: int
+    scores: jnp.ndarray,
+    descs: jnp.ndarray,
+    num_group: int,
+    weight_mode: str = "mean",
 ):
     """Full grouping head: scheme -> weights -> pooling -> fusion.
 
@@ -125,9 +146,10 @@ def group_and_fuse(
     This is the oracle the Pallas kernel is tested against and the VJP it
     reuses.  stop_gradient on the scheme replicates the reference's
     non-differentiable bucketing (scores learn only through the weights).
+    `weight_mode` selects the grouping_weight variant (mean | ceil_sum).
     """
     scheme = jax.lax.stop_gradient(grouping_scheme(scores, num_group))
-    weights = grouping_weight(scores, scheme)
+    weights = grouping_weight(scores, scheme, weight_mode)
     pooled = view_pooling(descs, scheme)
     fused = group_fusion(pooled, weights)
     return fused, weights, scheme

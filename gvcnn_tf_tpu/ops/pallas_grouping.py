@@ -34,7 +34,7 @@ _NEG = float(jnp.finfo(jnp.float32).min)
 
 
 def _grouping_kernel(scores_ref, descs_ref, fused_ref, weights_ref, scheme_ref,
-                     *, num_group: int):
+                     *, num_group: int, weight_mode: str):
     """One program per shape: scores (1, 1, V), descs (1, V, C) in VMEM.
 
     Mosaic requires the last two block dims to be (8,128)-aligned OR span
@@ -55,7 +55,9 @@ def _grouping_kernel(scores_ref, descs_ref, fused_ref, weights_ref, scheme_ref,
 
     cnt = jnp.sum(scheme, axis=1, keepdims=True)               # (M, 1)
     ssum = jnp.sum(scheme * s, axis=1, keepdims=True)          # (M, 1)
-    w = ssum / jnp.maximum(cnt, 1.0)                           # mean score
+    if weight_mode == "ceil_sum":                 # paper's ceil-of-sum variant
+        ssum = jnp.ceil(ssum)                     # forward only; VJP replays
+    w = ssum / jnp.maximum(cnt, 1.0)              # the oracle (incl. its STE)
 
     # Masked segment-max without materializing (M, V, C) in HBM: it lives
     # only as a VPU temporary in VMEM (M*V*C fp32 <= ~400 KB for the
@@ -70,11 +72,14 @@ def _grouping_kernel(scores_ref, descs_ref, fused_ref, weights_ref, scheme_ref,
     scheme_ref[0] = scheme
 
 
-def _pallas_forward(scores, descs, num_group: int, interpret: bool):
+def _pallas_forward(scores, descs, num_group: int, weight_mode: str,
+                    interpret: bool):
     B, V = scores.shape
     C = descs.shape[-1]
     M = num_group
-    kernel = functools.partial(_grouping_kernel, num_group=M)
+    kernel = functools.partial(
+        _grouping_kernel, num_group=M, weight_mode=weight_mode
+    )
     fused, weights, scheme = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -103,10 +108,11 @@ def _pallas_forward(scores, descs, num_group: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_op(num_group: int, interpret: bool):
+def _make_fused_op(num_group: int, weight_mode: str, interpret: bool):
     @jax.custom_vjp
     def op(scores, descs):
-        return _pallas_forward(scores, descs, num_group, interpret)
+        return _pallas_forward(scores, descs, num_group, weight_mode,
+                               interpret)
 
     def fwd(scores, descs):
         return op(scores, descs), (scores, descs)
@@ -114,9 +120,11 @@ def _make_fused_op(num_group: int, interpret: bool):
     def bwd(res, cotangents):
         scores, descs = res
         # Replay the oracle's VJP — bit-identical training dynamics with
-        # ops/grouping.py (stop_gradient on the scheme included).
+        # ops/grouping.py (stop_gradient on the scheme included, and the
+        # straight-through ceil gradient for the ceil_sum variant).
         _, vjp_fn = jax.vjp(
-            lambda s, d: G.group_and_fuse(s, d, num_group), scores, descs
+            lambda s, d: G.group_and_fuse(s, d, num_group, weight_mode),
+            scores, descs,
         )
         return vjp_fn(cotangents)
 
@@ -124,7 +132,8 @@ def _make_fused_op(num_group: int, interpret: bool):
     return op
 
 
-def group_and_fuse_pallas(scores, descs, num_group: int, *, interpret=None):
+def group_and_fuse_pallas(scores, descs, num_group: int,
+                          weight_mode: str = "mean", *, interpret=None):
     """Drop-in replacement for ops.grouping.group_and_fuse.
 
     scores (B, V), descs (B, V, C) -> (fused (B, C), weights (B, M),
@@ -133,4 +142,6 @@ def group_and_fuse_pallas(scores, descs, num_group: int, *, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _make_fused_op(num_group, bool(interpret))(scores, descs)
+    return _make_fused_op(num_group, weight_mode, bool(interpret))(
+        scores, descs
+    )
