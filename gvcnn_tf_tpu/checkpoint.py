@@ -50,12 +50,29 @@ class Checkpointer:
         Eval/predict use this so a checkpoint written by any optimizer can
         be read without rebuilding its opt_state structure (the reference's
         Saver.restore(var_list) equivalent).
+
+        Also accepts a RAW (step-less) checkpoint directory — one written
+        directly by ocp.StandardCheckpointer, e.g. an older
+        import_slim_checkpoint output — by falling back to a direct PyTree
+        restore when no step subdirectories exist.
         """
         if step is None:
             step = self.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {self.directory}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        if step is None:
+            try:
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    return ckptr.restore(
+                        self.directory,
+                        args=ocp.args.PyTreeRestore(
+                            item=abstract, partial_restore=True
+                        ),
+                    )
+            except Exception as e:
+                raise FileNotFoundError(
+                    f"no step checkpoints under {self.directory} and the "
+                    f"directory is not a raw checkpoint either ({e})"
+                ) from None
         return self._mgr.restore(
             step,
             args=ocp.args.PyTreeRestore(item=abstract, partial_restore=True),

@@ -32,6 +32,15 @@ class DataConfig:
     # horizontal flip + random crop from a slightly larger resize.
     augment: bool = True
     crop_fraction: float = 0.875         # central-crop fraction at eval
+    # Preprocessing family:
+    #   square — resize to H/crop_fraction then random/central crop (round-1
+    #            behavior, simple and deterministic).
+    #   slim   — TF-Slim inception_preprocessing semantics: eval = central
+    #            crop of `crop_fraction` THEN resize to HxW; train = slim's
+    #            distorted bounding-box crop + resize + random flip.  Use
+    #            this when warm-starting from slim ImageNet checkpoints so
+    #            the network sees its native input distribution.
+    preprocessing: str = "square"        # square | slim
     # Synthetic-data fallback so every config can run with nothing on disk.
     synthetic_num_shapes: int = 128
     prefetch_to_device: int = 2          # double-buffered HBM prefetch depth
@@ -59,6 +68,13 @@ class TrainConfig:
     warmup_steps: int = 0
     weight_decay: float = 4e-5           # slim inception_arg_scope default
     num_steps: int = 10000
+    # Epoch-structured training (the reference's loop is epochs over the
+    # split, SURVEY.md §3.1).  epochs > 0 overrides num_steps as
+    # round(epochs * steps_per_epoch); steps_per_epoch is inferred from the
+    # dataset when 0 (synthetic/native counts are free; TFRecords take one
+    # scan).  Epoch progress is logged either way when the size is known.
+    epochs: float = 0.0
+    steps_per_epoch: int = 0
     log_every: int = 50
     checkpoint_every: int = 1000
     train_logdir: str = "/tmp/gvcnn_tpu/train"
@@ -121,6 +137,10 @@ class GVCNNConfig:
     # Rematerialize backbone activations in the backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM bandwidth/footprint.
     remat_backbone: bool = False
+    # Run the 7x7/2 stem as a 4x4/1 conv on space-to-depth(2) input (exact
+    # transform, identical params/checkpoints — the MLPerf ResNet TPU
+    # trick; see models/backbones/inception_v1.py::SpaceToDepthStem).
+    stem_space_to_depth: bool = False
 
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
@@ -226,6 +246,10 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--optimizer", default=None)
     p.add_argument("--how_many_training_steps", "--num_steps", dest="num_steps",
                    type=int, default=None)
+    p.add_argument("--num_epochs", "--epochs", dest="epochs", type=float,
+                   default=None,
+                   help="train for N epochs over the split (overrides steps)")
+    p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--train_logdir", default=None)
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--dataset", default=None)
@@ -238,6 +262,8 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="BN EMA decay; lower (e.g. 0.9) for short runs")
     p.add_argument("--group_weight", default=None,
                    help="group weight variant: mean | ceil_sum")
+    p.add_argument("--preprocessing", default=None,
+                   help="preprocessing family: square | slim")
     p.add_argument("--score_squash", default=None,
                    help="score squash: softmax | sigmoid | sigmoid_log")
     p.add_argument("--seed", type=int, default=None)
@@ -250,9 +276,10 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
     for field, dst in [
         ("num_views", data_kw), ("num_classes", data_kw), ("height", data_kw),
         ("width", data_kw), ("batch_size", data_kw), ("dataset_dir", data_kw),
-        ("dataset", data_kw),
+        ("dataset", data_kw), ("preprocessing", data_kw),
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
+        ("epochs", train_kw), ("steps_per_epoch", train_kw),
         ("checkpoint_path", train_kw), ("seed", train_kw),
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
         ("bn_momentum", top_kw), ("group_weight", top_kw),

@@ -122,6 +122,8 @@ def native_dataset(
     seed: int = 0,
     num_threads: int = 0,
     prefetch: int = 2,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[dict]:
     """Stream (B, V, H, W, 3) batches straight from a rendered-view tree.
 
@@ -134,6 +136,8 @@ def native_dataset(
     shapes, _ = discover_shapes(image_root)
     shapes = [(sid, lbl, v[:num_views]) for sid, lbl, v in shapes
               if len(v) >= num_views]
+    if num_shards > 1:  # multi-host: disjoint shape subset per process
+        shapes = shapes[shard_index::num_shards]
     if not shapes:
         raise ValueError(f"no shapes with >= {num_views} views in {image_root}")
 
@@ -147,12 +151,16 @@ def native_dataset(
         try:
             while not stop.is_set() and (num_epochs is None or epoch < num_epochs):
                 order = rng.permutation(len(shapes)) if train else np.arange(len(shapes))
-                for s in range(0, len(shapes) - batch_size + 1, batch_size):
+                # Train drops the ragged tail (stream repeats); eval yields
+                # the short tail so the full split is scored.
+                last = len(shapes) - batch_size + 1 if train else len(shapes)
+                for s in range(0, last, batch_size):
                     if stop.is_set():
                         return
                     idx = order[s:s + batch_size]
+                    n = len(idx)
                     blobs: List[bytes] = []
-                    labels = np.empty(batch_size, np.int32)
+                    labels = np.empty(n, np.int32)
                     for bi, si in enumerate(idx):
                         _, lbl, views = shapes[si]
                         labels[bi] = lbl
@@ -165,11 +173,12 @@ def native_dataset(
                     )
                     flat = decoder.decode(blobs, height, width, flips)
                     q.put({
-                        "views": flat.reshape(batch_size, num_views, height,
-                                              width, 3),
+                        "views": flat.reshape(n, num_views, height, width, 3),
                         "label": labels,
                     })
                 epoch += 1
+        except BaseException as e:  # surface pipeline crashes to the consumer
+            q.put(e)                # (a swallowed error looks like clean EOF)
         finally:
             q.put(None)
 
@@ -180,6 +189,8 @@ def native_dataset(
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

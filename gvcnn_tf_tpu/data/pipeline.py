@@ -19,9 +19,52 @@ from gvcnn_tf_tpu.data.synthetic import synthetic_dataset
 Batch = Dict[str, np.ndarray]   # {'views': (B,V,H,W,3) f32, 'label': (B,) i32}
 
 
+def _resolve_loader(data_cfg: DataConfig) -> str:
+    loader = data_cfg.loader
+    if loader == "auto":
+        if data_cfg.dataset == "procedural":
+            loader = "procedural"
+        elif data_cfg.dataset == "synthetic" or not data_cfg.dataset_dir:
+            loader = "synthetic"
+        elif glob.glob(os.path.join(data_cfg.dataset_dir, "*.tfrecord")):
+            loader = "tfrecord"
+        else:
+            loader = "native"
+    return loader
+
+
+def dataset_size(
+    data_cfg: DataConfig, *, train: bool, cheap_only: bool = False
+):
+    """Number of shapes in the split, or None if unknown.
+
+    Used for epoch accounting (reference trains in epochs, SURVEY.md §3.1).
+    Counting TFRecords requires a full scan of the split's files, so it is
+    skipped under `cheap_only` (synthetic/native counts are free).
+    """
+    loader = _resolve_loader(data_cfg)
+    if loader in ("synthetic", "procedural"):
+        return data_cfg.synthetic_num_shapes
+    if loader == "native":
+        from gvcnn_tf_tpu.data.tfrecord import discover_shapes
+
+        shapes, _ = discover_shapes(data_cfg.dataset_dir)
+        return sum(1 for _, _, v in shapes if len(v) >= data_cfg.num_views)
+    if cheap_only:
+        return None
+    import tensorflow as tf  # host-side record count
+
+    split = "train" if train else "validation"
+    pattern = os.path.join(data_cfg.dataset_dir, f"{split}-*.tfrecord")
+    files = glob.glob(pattern)
+    if not files:
+        return None
+    return sum(1 for _ in tf.data.TFRecordDataset(files))
+
+
 def make_dataset(
     data_cfg: DataConfig, *, train: bool, seed: int = 0,
-    num_epochs=None,
+    num_epochs=None, shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[Batch]:
     """Build the input iterator for a config.
 
@@ -29,15 +72,13 @@ def make_dataset(
     deterministic synthetic stream so every config runs with nothing on
     disk; otherwise reads the sharded TFRecords produced by
     `gvcnn_tf_tpu.data.tfrecord.build_tfrecords`.
+
+    `shard_index`/`num_shards`: multi-host input sharding — each process
+    streams a disjoint subset of the split at its LOCAL batch size
+    (data_cfg.batch_size here is the per-process size; train() divides the
+    global batch by jax.process_count() before calling).
     """
-    loader = data_cfg.loader
-    if loader == "auto":
-        if data_cfg.dataset == "synthetic" or not data_cfg.dataset_dir:
-            loader = "synthetic"
-        elif glob.glob(os.path.join(data_cfg.dataset_dir, "*.tfrecord")):
-            loader = "tfrecord"
-        else:
-            loader = "native"
+    loader = _resolve_loader(data_cfg)
 
     if loader == "native":
         # C++ threaded decode pool straight off a rendered-view image tree
@@ -55,10 +96,31 @@ def make_dataset(
                 train=train,
                 num_epochs=num_epochs,
                 seed=seed,
+                shard_index=shard_index,
+                num_shards=num_shards,
             )
         raise RuntimeError(
             "native loader unavailable (no C++ toolchain?); build TFRecords "
             "with gvcnn_tf_tpu.data.build_tfrecords instead"
+        )
+
+    if loader == "procedural":
+        # Rendered views of parametric 3D meshes (data/procedural.py): the
+        # in-container stand-in for ModelNet where grouping is measurable.
+        from gvcnn_tf_tpu.data.procedural import procedural_dataset
+
+        return procedural_dataset(
+            num_classes=data_cfg.num_classes,
+            num_views=data_cfg.num_views,
+            height=data_cfg.height,
+            width=data_cfg.width,
+            batch_size=data_cfg.batch_size,
+            num_shapes=data_cfg.synthetic_num_shapes,
+            seed=seed,
+            train=train,
+            num_epochs=num_epochs,
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
 
     if loader == "synthetic":
@@ -72,6 +134,8 @@ def make_dataset(
             seed=seed,
             train=train,
             num_epochs=num_epochs,
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
     else:
         from gvcnn_tf_tpu.data.tfrecord import tfrecord_dataset
@@ -94,6 +158,14 @@ def make_dataset(
             shuffle_buffer=data_cfg.shuffle_buffer,
             crop_fraction=data_cfg.crop_fraction,
             seed=seed,
+            # Eval must score the FULL split: keep the ragged tail batch and
+            # let the eval driver pad+mask it (the reference scores every
+            # validation shape; drop_remainder would silently skip up to
+            # B-1 of them).
+            drop_remainder=train,
+            preprocessing=data_cfg.preprocessing,
+            shard_index=shard_index,
+            num_shards=num_shards,
         )
     # Single-view configs squeeze the view axis (B, 1, H, W, 3) -> (B, H, W, 3)
     # downstream in the model, so the iterator contract is uniform.

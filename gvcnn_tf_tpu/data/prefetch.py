@@ -16,6 +16,41 @@ from typing import Iterator, Optional
 import jax
 
 
+def _make_put(sharding, transfer_dtype):
+    """Shared host->device transfer fn for both prefetch variants.
+
+    Single-process: a sharded device_put (the put IS the scatter over the
+    mesh).  Multi-process: each host holds only its local shard, so the
+    global array is assembled with make_array_from_process_local_data —
+    device_put of a whole global batch would require non-addressable
+    devices (the round-1 multihost gap: make_global_batch was never wired
+    into the train path).
+    """
+    cast_to = None
+    if transfer_dtype is not None:
+        import ml_dtypes  # numpy bf16 support, bundled with jax
+
+        cast_to = {"bfloat16": ml_dtypes.bfloat16}.get(
+            str(transfer_dtype), transfer_dtype
+        )
+    multiproc = jax.process_count() > 1 and sharding is not None
+
+    def put(x):
+        if cast_to is not None and hasattr(x, "dtype") and x.dtype.kind == "f":
+            x = x.astype(cast_to)
+        if multiproc:
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding) if sharding is not None else (
+            jax.device_put(x)
+        )
+
+    return put
+
+
 def prefetch_to_device(
     iterator: Iterator,
     size: int = 2,
@@ -31,20 +66,7 @@ def prefetch_to_device(
     model casts to its compute dtype anyway.
     """
     queue = collections.deque()
-    cast_to = None
-    if transfer_dtype is not None:
-        import ml_dtypes  # numpy bf16 support, bundled with jax
-
-        cast_to = {"bfloat16": ml_dtypes.bfloat16}.get(
-            str(transfer_dtype), transfer_dtype
-        )
-
-    def put(x):
-        if cast_to is not None and hasattr(x, "dtype") and x.dtype.kind == "f":
-            x = x.astype(cast_to)
-        return jax.device_put(x, sharding) if sharding is not None else (
-            jax.device_put(x)
-        )
+    put = _make_put(sharding, transfer_dtype)
 
     def enqueue(n):
         for _ in range(n):
@@ -78,21 +100,7 @@ def prefetch_to_device_async(
 
     q: "_queue.Queue" = _queue.Queue(maxsize=size)
     stop = threading.Event()
-
-    cast_to = None
-    if transfer_dtype is not None:
-        import ml_dtypes
-
-        cast_to = {"bfloat16": ml_dtypes.bfloat16}.get(
-            str(transfer_dtype), transfer_dtype
-        )
-
-    def put(x):
-        if cast_to is not None and hasattr(x, "dtype") and x.dtype.kind == "f":
-            x = x.astype(cast_to)
-        return jax.device_put(x, sharding) if sharding is not None else (
-            jax.device_put(x)
-        )
+    put = _make_put(sharding, transfer_dtype)
 
     def producer():
         try:
@@ -100,6 +108,11 @@ def prefetch_to_device_async(
                 if stop.is_set():
                     return
                 q.put(jax.tree.map(put, batch))
+        except BaseException as e:
+            # Surface pipeline crashes to the consumer — swallowing them
+            # here would make a mid-run input failure indistinguishable
+            # from clean exhaustion ("dataset exhausted" -> silent success).
+            q.put(e)
         finally:
             q.put(None)
 
@@ -110,6 +123,8 @@ def prefetch_to_device_async(
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

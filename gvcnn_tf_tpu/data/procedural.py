@@ -1,0 +1,348 @@
+"""Procedural multi-view 3D benchmark — renders of real parametric meshes.
+
+The container has no ModelNet and no egress, so accuracy parity work needs a
+stand-in where GVCNN's grouping can actually matter (round-1 VERDICT weak
+#7: the class-prototype synthetic stream has no view structure, so GVCNN and
+MVCNN are indistinguishable by construction).  This module builds one:
+
+  * 10 shape classes as parametric triangle-mesh compositions (box, tall
+    box, cylinder, cone, table, chair, stool, barbell, tower, tent) with
+    per-instance seeded dimension jitter — ModelNet10-like in spirit.
+  * V orbit cameras (MVCNN render convention: evenly spaced azimuths at
+    30 deg elevation) render each instance with a NumPy z-buffer
+    rasterizer, flat Lambertian shading, white background — so the V images
+    of one sample ARE views of one 3D object.
+  * Every 4th view is rendered near-top-down (75 deg elevation), where
+    several classes are deliberately confusable (box vs tall box, cylinder
+    vs cone, table vs stool footprints) — uninformative views the grouping
+    module can learn to down-weight but a plain MVCNN max-pool cannot.
+
+Deterministic by (seed, split); rendered once per process and cached, then
+served through the standard iterator contract.  Everything is host-side
+NumPy — the device only ever sees (B, V, H, W, 3) float batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Mesh builders (verts (N, 3) float, faces (T, 3) int — CCW outward).
+# ---------------------------------------------------------------------------
+
+def _box(center, size) -> Tuple[np.ndarray, np.ndarray]:
+    cx, cy, cz = center
+    sx, sy, sz = size
+    v = np.array(
+        [
+            [cx - sx, cy - sy, cz - sz], [cx + sx, cy - sy, cz - sz],
+            [cx + sx, cy + sy, cz - sz], [cx - sx, cy + sy, cz - sz],
+            [cx - sx, cy - sy, cz + sz], [cx + sx, cy - sy, cz + sz],
+            [cx + sx, cy + sy, cz + sz], [cx - sx, cy + sy, cz + sz],
+        ],
+        np.float32,
+    )
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2],          # bottom (z-)
+            [4, 5, 6], [4, 6, 7],          # top (z+)
+            [0, 1, 5], [0, 5, 4],          # y-
+            [2, 3, 7], [2, 7, 6],          # y+
+            [1, 2, 6], [1, 6, 5],          # x+
+            [3, 0, 4], [3, 4, 7],          # x-
+        ],
+        np.int32,
+    )
+    return v, f
+
+
+def _cylinder(center, radius, half_h, n=14, taper=1.0):
+    """Capped cylinder along z; taper<1 -> truncated cone; taper=0 -> cone."""
+    cx, cy, cz = center
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    bot = np.stack(
+        [cx + radius * np.cos(ang), cy + radius * np.sin(ang),
+         np.full(n, cz - half_h)], -1
+    )
+    rt = radius * taper
+    top = np.stack(
+        [cx + rt * np.cos(ang), cy + rt * np.sin(ang),
+         np.full(n, cz + half_h)], -1
+    )
+    cb = np.array([[cx, cy, cz - half_h]], np.float32)
+    ct = np.array([[cx, cy, cz + half_h]], np.float32)
+    verts = np.concatenate([bot, top, cb, ct]).astype(np.float32)
+    faces: List[List[int]] = []
+    for i in range(n):
+        j = (i + 1) % n
+        faces += [[i, j, n + i], [j, n + j, n + i]]       # side
+        faces += [[2 * n, j, i], [2 * n + 1, n + i, n + j]]  # caps
+    return verts, np.asarray(faces, np.int32)
+
+
+def _compose(parts):
+    verts, faces, off = [], [], 0
+    for v, f in parts:
+        verts.append(v)
+        faces.append(f + off)
+        off += len(v)
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def _legs(rng, x, y, h, r=0.05, n=4):
+    """n legs under a slab footprint (+-x, +-y), tops at z=h."""
+    sign = [(-1, -1), (1, -1), (1, 1), (-1, 1)][:n] if n != 3 else [
+        (-1, -1), (1, -1), (0, 1)
+    ]
+    return [
+        _box((sx * x, sy * y, h / 2), (r, r, h / 2)) for sx, sy in sign
+    ]
+
+
+# Each builder: rng -> (verts, faces).  Dimension jitter keeps instances of
+# one class distinct while preserving class geometry.
+def _c_box(rng):
+    s = rng.uniform(0.55, 0.8)
+    return _box((0, 0, 0), (s, s * rng.uniform(0.85, 1.15), s))
+
+
+def _c_tallbox(rng):
+    w = rng.uniform(0.3, 0.42)
+    return _box((0, 0, 0), (w, w * rng.uniform(0.9, 1.1),
+                            rng.uniform(0.85, 1.05)))
+
+
+def _c_cylinder(rng):
+    return _cylinder((0, 0, 0), rng.uniform(0.45, 0.6),
+                     rng.uniform(0.6, 0.85))
+
+
+def _c_cone(rng):
+    return _cylinder((0, 0, 0), rng.uniform(0.5, 0.68),
+                     rng.uniform(0.6, 0.85), taper=0.02)
+
+
+def _c_table(rng):
+    x, y = rng.uniform(0.6, 0.8), rng.uniform(0.45, 0.65)
+    h = rng.uniform(0.5, 0.7)
+    top = _box((0, 0, h + 0.04), (x, y, 0.04))
+    return _compose([top] + _legs(rng, x - 0.08, y - 0.08, h))
+
+
+def _c_chair(rng):
+    s = rng.uniform(0.35, 0.45)
+    h = rng.uniform(0.35, 0.45)
+    seat = _box((0, 0, h + 0.04), (s, s, 0.04))
+    back = _box((0, s - 0.04, h + 0.5), (s, 0.04, 0.45))
+    return _compose([seat, back] + _legs(rng, s - 0.07, s - 0.07, h))
+
+
+def _c_stool(rng):
+    r = rng.uniform(0.3, 0.4)
+    h = rng.uniform(0.45, 0.6)
+    seat = _cylinder((0, 0, h + 0.04), r, 0.05, n=10)
+    return _compose([seat] + _legs(rng, r - 0.08, r - 0.08, h, n=3))
+
+
+def _c_barbell(rng):
+    s = rng.uniform(0.3, 0.38)
+    gap = rng.uniform(0.55, 0.7)
+    a = _box((-gap, 0, 0), (s, s, s))
+    b = _box((gap, 0, 0), (s, s, s))
+    bar = _box((0, 0, 0), (gap, 0.08, 0.08))
+    return _compose([a, b, bar])
+
+
+def _c_tower(rng):
+    parts = []
+    z = -0.8
+    w = rng.uniform(0.55, 0.7)
+    for k in range(3):
+        h = rng.uniform(0.22, 0.3)
+        parts.append(_box((0, 0, z + h), (w, w, h)))
+        z += 2 * h
+        w *= rng.uniform(0.6, 0.7)
+    return _compose(parts)
+
+
+def _c_tent(rng):
+    return _cylinder((0, 0, 0), rng.uniform(0.55, 0.75),
+                     rng.uniform(0.55, 0.8), n=4, taper=0.02)
+
+
+CLASSES = [
+    ("box", _c_box), ("tallbox", _c_tallbox), ("cylinder", _c_cylinder),
+    ("cone", _c_cone), ("table", _c_table), ("chair", _c_chair),
+    ("stool", _c_stool), ("barbell", _c_barbell), ("tower", _c_tower),
+    ("tent", _c_tent),
+]
+
+
+# ---------------------------------------------------------------------------
+# Rendering: orbit cameras + z-buffer rasterizer.
+# ---------------------------------------------------------------------------
+
+def _rot(azimuth: float, elevation: float) -> np.ndarray:
+    ca, sa = np.cos(azimuth), np.sin(azimuth)
+    ce, se = np.cos(elevation), np.sin(elevation)
+    rz = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]], np.float32)
+    rx = np.array([[1, 0, 0], [0, ce, -se], [0, se, ce]], np.float32)
+    return rx @ rz
+
+
+def rasterize(verts, faces, res: int) -> np.ndarray:
+    """verts in view space (x, y in [-1, 1], z = depth toward viewer).
+
+    Returns (res, res) float image in [0, 1]: white background, flat
+    Lambertian shading by face normal.
+    """
+    img = np.ones((res, res), np.float32)
+    zbuf = np.full((res, res), -np.inf, np.float32)
+    tri = verts[faces]                                   # (T, 3, 3)
+    # Pixel coords: x right, y down.
+    px = (tri[..., 0] + 1.0) * 0.5 * (res - 1)
+    py = (1.0 - (tri[..., 1] + 1.0) * 0.5) * (res - 1)
+    pz = tri[..., 2]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    nz = n[:, 2] / (np.linalg.norm(n, axis=1) + 1e-9)
+    shade = 0.15 + 0.65 * np.abs(nz)                     # viewer-side light
+    for t in range(len(faces)):
+        x0, x1 = px[t].min(), px[t].max()
+        y0, y1 = py[t].min(), py[t].max()
+        ix0, ix1 = int(np.floor(x0)), int(np.ceil(x1)) + 1
+        iy0, iy1 = int(np.floor(y0)), int(np.ceil(y1)) + 1
+        ix0, iy0 = max(ix0, 0), max(iy0, 0)
+        ix1, iy1 = min(ix1, res), min(iy1, res)
+        if ix0 >= ix1 or iy0 >= iy1:
+            continue
+        xs = np.arange(ix0, ix1, dtype=np.float32)
+        ys = np.arange(iy0, iy1, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, ys)
+        ax, ay = px[t, 0], py[t, 0]
+        bx, by = px[t, 1], py[t, 1]
+        cx, cy = px[t, 2], py[t, 2]
+        den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if abs(den) < 1e-9:
+            continue
+        w0 = ((by - cy) * (gx - cx) + (cx - bx) * (gy - cy)) / den
+        w1 = ((cy - ay) * (gx - cx) + (ax - cx) * (gy - cy)) / den
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        depth = w0 * pz[t, 0] + w1 * pz[t, 1] + w2 * pz[t, 2]
+        zwin = zbuf[iy0:iy1, ix0:ix1]
+        upd = inside & (depth > zwin)
+        zwin[upd] = depth[upd]
+        img[iy0:iy1, ix0:ix1][upd] = shade[t]
+    return img
+
+
+def render_views(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    num_views: int,
+    res: int,
+    azimuth0: float = 0.0,
+) -> np.ndarray:
+    """-> (V, res, res) float in [0, 1].  MVCNN-style orbit: evenly spaced
+    azimuths at 30 deg elevation; every 4th view near-top-down (75 deg),
+    the deliberately less-informative views."""
+    center = (verts.max(0) + verts.min(0)) / 2
+    v0 = verts - center
+    scale = 0.9 / (np.abs(v0).max() + 1e-9)     # one scale for ALL views
+    v0 = v0 * scale
+    out = np.empty((num_views, res, res), np.float32)
+    for i in range(num_views):
+        az = azimuth0 + 2 * np.pi * i / num_views
+        el = np.deg2rad(75.0 if i % 4 == 3 else 30.0)
+        out[i] = rasterize(v0 @ _rot(az, el).T, faces, res)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (rendered once per (args) and cached in-process).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def build_procedural_split(
+    *,
+    num_views: int,
+    height: int,
+    width: int,
+    num_shapes: int,
+    seed: int,
+    train_split: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (views uint8 (N, V, H, W, 3), labels int32 (N,)).
+
+    Train and validation draw disjoint instance seeds of the same classes.
+    `height` must equal `width` (square renders).
+    """
+    assert height == width, "procedural renders are square"
+    n_cls = len(CLASSES)
+    labels = np.arange(num_shapes, dtype=np.int32) % n_cls
+    views = np.empty((num_shapes, num_views, height, width, 3), np.uint8)
+    base = seed * 2_000_003 + (0 if train_split else 1_000_003)
+    for i in range(num_shapes):
+        rng = np.random.RandomState(base + i)
+        _, builder = CLASSES[labels[i]]
+        verts, faces = builder(rng)
+        az0 = rng.uniform(0, 2 * np.pi / num_views)   # per-instance orbit phase
+        imgs = render_views(verts, faces, num_views, height, azimuth0=az0)
+        views[i] = np.repeat(
+            (imgs * 255).astype(np.uint8)[..., None], 3, axis=-1
+        )
+    return views, labels
+
+
+def procedural_dataset(
+    *,
+    num_classes: int,          # must be len(CLASSES); kept for API symmetry
+    num_views: int,
+    height: int,
+    width: int,
+    batch_size: int,
+    num_shapes: int = 400,
+    seed: int = 0,
+    train: bool = True,
+    num_epochs: Optional[int] = None,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> Iterator[dict]:
+    """Iterator of {'views': (B, V, H, W, 3) f32 in [-1, 1], 'label': (B,)}.
+
+    Same contract and tail semantics as synthetic_dataset (train drops the
+    ragged tail; eval yields it short).
+    """
+    if num_classes != len(CLASSES):
+        raise ValueError(
+            f"procedural dataset has {len(CLASSES)} classes; config asks "
+            f"for {num_classes} (set num_classes={len(CLASSES)})"
+        )
+    views, labels = build_procedural_split(
+        num_views=num_views, height=height, width=width,
+        num_shapes=num_shapes, seed=seed, train_split=train,
+    )
+    shard = np.arange(num_shapes)[shard_index::num_shards]
+    order_rng = np.random.RandomState(seed + 7 + shard_index)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = (
+            shard[order_rng.permutation(len(shard))] if train else shard
+        )
+        n_local = len(order)
+        last = n_local - batch_size + 1 if train else n_local
+        for start in range(0, last, batch_size):
+            idx = order[start:start + batch_size]
+            v = views[idx].astype(np.float32) / 255.0 * 2.0 - 1.0
+            yield {"views": v, "label": labels[idx]}
+        epoch += 1
+
+
+def class_names() -> List[str]:
+    return [name for name, _ in CLASSES]

@@ -28,8 +28,15 @@ def synthetic_dataset(
     train: bool = True,
     num_epochs: Optional[int] = None,   # None = repeat forever
     noise: float = 0.05,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[dict]:
-    """Yields {'views': (B, V, H, W, 3) float32 in [-1, 1], 'label': (B,)}."""
+    """Yields {'views': (B, V, H, W, 3) float32 in [-1, 1], 'label': (B,)}.
+
+    `shard_index`/`num_shards` give each multi-host process a disjoint
+    subset of the shapes (every num_shards-th index); prototypes and labels
+    are derived from `seed` alone so all processes agree on the data.
+    """
     rng = np.random.RandomState(seed)
     # Per-class per-view prototypes, kept low-res and upsampled to keep
     # memory small.
@@ -41,14 +48,20 @@ def synthetic_dataset(
     protos = protos[:, :, :height, :width, :]
 
     labels_all = rng.randint(0, num_classes, size=num_shapes)
-    order_rng = np.random.RandomState(seed + 1)
+    shard = np.arange(num_shapes)[shard_index::num_shards]
+    order_rng = np.random.RandomState(seed + 1 + shard_index)
 
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
         order = (
-            order_rng.permutation(num_shapes) if train else np.arange(num_shapes)
+            shard[order_rng.permutation(len(shard))] if train else shard
         )
-        for start in range(0, num_shapes - batch_size + 1, batch_size):
+        n_local = len(order)
+        # Train drops the ragged tail (the stream repeats anyway); eval must
+        # score the FULL split — the tail batch is yielded short and the
+        # eval driver pads+masks it (VERDICT r1: silent truncated eval).
+        last = n_local - batch_size + 1 if train else n_local
+        for start in range(0, last, batch_size):
             idx = order[start : start + batch_size]
             lbl = labels_all[idx]
             views = protos[lbl].copy()

@@ -148,15 +148,26 @@ def tfrecord_dataset(
     crop_fraction: float = 0.875,
     seed: int = 0,
     drop_remainder: bool = True,
+    preprocessing: str = "square",
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[dict]:
     """tf.data reader -> NumPy iterator of {'views': (B,V,H,W,3), 'label': (B,)}.
 
-    Decode/resize/normalize follows the reference preprocessing (SURVEY.md
-    C5 [MED]): decode -> (train: random crop from 1/crop_fraction upscale +
-    per-view random horizontal flip | eval: central crop) -> resize HxW ->
-    scale to [-1, 1] (Inception convention).
+    Two preprocessing families (DataConfig.preprocessing):
+      * "square" — decode -> resize to H/crop_fraction -> (train: random
+        crop + per-view random horizontal flip | eval: central crop) ->
+        scale to [-1, 1].  Round-1 behavior, deterministic eval geometry.
+      * "slim"   — TF-Slim inception_preprocessing semantics (the reference
+        family's preprocessing, SURVEY.md C5 [MED]): eval = central_crop of
+        `crop_fraction` THEN bilinear resize to HxW; train = slim's
+        distorted bounding-box crop (area 5-100%, aspect 3/4-4/3) -> resize
+        -> random flip.  Matches what slim ImageNet checkpoints were trained
+        on, so warm-started backbones see their native input distribution.
     """
     tf = _tf()
+    if preprocessing not in ("square", "slim"):
+        raise ValueError(f"unknown preprocessing {preprocessing!r}")
 
     def parse(serialized):
         feats = tf.io.parse_single_example(
@@ -170,9 +181,7 @@ def tfrecord_dataset(
         big_h = int(height / crop_fraction)
         big_w = int(width / crop_fraction)
 
-        def decode_one(enc):
-            img = tf.io.decode_image(enc, channels=3, expand_animations=False)
-            img = tf.cast(img, tf.float32) / 255.0
+        def decode_square(img):
             if train and augment:
                 img = tf.image.resize(img, (big_h, big_w), antialias=True)
                 img = tf.image.random_crop(img, (height, width, 3))
@@ -183,6 +192,35 @@ def tfrecord_dataset(
                 img = tf.image.crop_to_bounding_box(
                     img, off_h, off_w, height, width
                 )
+            return img
+
+        def decode_slim(img):
+            # slim inception_preprocessing: preprocess_for_train /
+            # preprocess_for_eval (tensorflow/models/research/slim).
+            if train and augment:
+                bbox = tf.zeros([1, 0, 4], tf.float32)  # whole image
+                begin, size, _ = tf.image.sample_distorted_bounding_box(
+                    tf.shape(img),
+                    bounding_boxes=bbox,
+                    min_object_covered=0.1,
+                    aspect_ratio_range=(0.75, 1.333),
+                    area_range=(0.05, 1.0),
+                    max_attempts=100,
+                    use_image_if_no_bounding_boxes=True,
+                )
+                img = tf.slice(img, begin, size)
+                img = tf.image.resize(img, (height, width), antialias=False)
+                img = tf.image.random_flip_left_right(img)
+            else:
+                img = tf.image.central_crop(img, central_fraction=crop_fraction)
+                img = tf.image.resize(img, (height, width), antialias=False)
+            return img
+
+        def decode_one(enc):
+            img = tf.io.decode_image(enc, channels=3, expand_animations=False)
+            img = tf.cast(img, tf.float32) / 255.0
+            img = decode_slim(img) if preprocessing == "slim" else decode_square(img)
+            img = tf.ensure_shape(img, (height, width, 3))
             return img * 2.0 - 1.0
 
         views = tf.map_fn(
@@ -201,6 +239,11 @@ def tfrecord_dataset(
         cycle_length=tf.data.AUTOTUNE,
         num_parallel_calls=tf.data.AUTOTUNE,
     )
+    if num_shards > 1:
+        # Multi-host: each process reads a disjoint record subset.  Sharding
+        # at the record level (not the file level) stays correct when the
+        # split has fewer files than processes.
+        ds = ds.shard(num_shards, shard_index)
     if train:
         ds = ds.shuffle(shuffle_buffer, seed=seed).repeat()
     ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)

@@ -44,6 +44,18 @@ class MetricWriter:
             self._tb.flush()
 
 
+class NullWriter(MetricWriter):
+    """Writer for non-zero processes in a multi-host run: metrics are
+    global (GSPMD reductions), so only process 0 should emit them."""
+
+    def __init__(self):
+        self._tb = None
+        self.logdir = None
+
+    def scalars(self, step: int, values: dict):
+        pass
+
+
 class StepTimer:
     """Wall-clock throughput over a window of steps (call after
     block_until_ready at window edges)."""

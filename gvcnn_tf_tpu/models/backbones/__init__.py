@@ -26,6 +26,9 @@ def get_backbone(name: str):
     if name not in BACKBONES:
         if name == "inception_v1":
             BACKBONES[name] = InceptionV1Base
+        elif name == "inception_v2":
+            from gvcnn_tf_tpu.models.backbones.inception_v2 import InceptionV2Base
+            BACKBONES[name] = InceptionV2Base
         elif name == "inception_v3":
             from gvcnn_tf_tpu.models.backbones.inception_v3 import InceptionV3Base
             BACKBONES[name] = InceptionV3Base

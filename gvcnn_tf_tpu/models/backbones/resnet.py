@@ -2,9 +2,12 @@
 
 Follows TF-Slim `nets/resnet_v1.py` conventions (the other swap candidate in
 BASELINE.json:10): 7x7/2 stem + 3x3/2 maxpool, bottleneck blocks [3, 4, 6, 3]
-with output widths 256/512/1024/2048, stride-2 at the first unit of blocks
-2-4, BN decay 0.997 / eps 1e-5 (slim resnet_arg_scope), post-activation
-(v1) residuals.  Endpoints: conv1, block1..block4.
+with output widths 256/512/1024/2048, block strides (2, 2, 2, 1) applied at
+the LAST unit of each block (slim's resnet_v1_block convention — unlike
+torchvision, which strides the first unit of the NEXT stage; the two give
+different intermediate endpoint shapes: slim block1 = 28x28x256), BN decay
+0.997 / eps 1e-5 (slim resnet_arg_scope), post-activation (v1) residuals.
+Endpoints: conv1, block1..block4.
 """
 
 from __future__ import annotations
@@ -57,8 +60,8 @@ class Bottleneck(nn.Module):
         return nn.relu(shortcut + y)
 
 
-_BLOCKS = (("block1", 64, 3, 1), ("block2", 128, 4, 2),
-           ("block3", 256, 6, 2), ("block4", 512, 3, 2))
+_BLOCKS = (("block1", 64, 3, 2), ("block2", 128, 4, 2),
+           ("block3", 256, 6, 2), ("block4", 512, 3, 1))
 
 ENDPOINTS = ("conv1",) + tuple(b[0] for b in _BLOCKS)
 
@@ -90,8 +93,11 @@ class ResNet50Base(nn.Module):
 
         for name, width, units, stride in _BLOCKS:
             for u in range(units):
+                # slim resnet_v1_block: the block's stride is applied at the
+                # LAST unit (torchvision strides the first unit instead).
                 net = Bottleneck(
-                    width, stride if u == 0 else 1, dtype=d, bn_momentum=self.bn_momentum,
+                    width, stride if u == units - 1 else 1, dtype=d,
+                    bn_momentum=self.bn_momentum,
                     name=f"{name}_unit{u + 1}",
                 )(net, train)
             endpoints[name] = net

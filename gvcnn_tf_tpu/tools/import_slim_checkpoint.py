@@ -104,11 +104,19 @@ def main(argv=None):
     p.add_argument("--output_dir", required=True)
     args = p.parse_args(argv)
     tree = convert_slim_vars(read_tf_checkpoint(args.slim_checkpoint))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(args.output_dir, tree)
-    ckptr.wait_until_finished()
+    # Save at step 0 under a CheckpointManager so the output is directly
+    # consumable by TrainConfig.checkpoint_path (train.py's warm-start reads
+    # through Checkpointer/CheckpointManager, which needs step directories —
+    # ADVICE r1: a raw StandardCheckpointer save broke that flow).
+    mgr = ocp.CheckpointManager(
+        args.output_dir,
+        options=ocp.CheckpointManagerOptions(create=True),
+    )
+    mgr.save(0, args=ocp.args.StandardSave(tree))
+    mgr.wait_until_finished()
+    mgr.close()
     n = sum(1 for _ in _leaves(tree))
-    print(f"wrote {n} arrays to {args.output_dir}")
+    print(f"wrote {n} arrays to {args.output_dir} (step 0)")
 
 
 def _leaves(tree):

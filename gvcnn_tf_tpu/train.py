@@ -180,6 +180,15 @@ def create_train_state(
     return model, tx, state
 
 
+def _saveable(state):
+    """State as passed to Orbax: host copy single-process (safe against the
+    next step's donation of the device buffers during an async save);
+    multi-process saves the global jax.Arrays directly (Orbax copies to
+    host before returning, and device_get cannot read non-addressable
+    shards)."""
+    return state if jax.process_count() > 1 else jax.device_get(state)
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -205,7 +214,31 @@ def train(
     setup_compilation_cache()
     tc = config.train
     num_steps = num_steps if num_steps is not None else tc.num_steps
-    writer = writer or metrics_lib.MetricWriter(tc.train_logdir)
+    # Epoch accounting (reference trains in epochs over the split,
+    # SURVEY.md §3.1): resolve steps_per_epoch, let epochs override steps.
+    steps_per_epoch = tc.steps_per_epoch
+    if steps_per_epoch <= 0:
+        from gvcnn_tf_tpu.data import dataset_size
+
+        # A TFRecord count needs a full scan — only pay it when the run is
+        # actually epoch-denominated; otherwise use free counts for logging.
+        n = dataset_size(config.data, train=True, cheap_only=tc.epochs <= 0)
+        if n:
+            steps_per_epoch = max(n // config.data.batch_size, 1)
+    if tc.epochs > 0:
+        if steps_per_epoch <= 0:
+            raise ValueError(
+                "epochs-denominated training needs steps_per_epoch (dataset "
+                "size unknown); set TrainConfig.steps_per_epoch"
+            )
+        num_steps = max(int(round(tc.epochs * steps_per_epoch)), 1)
+    if writer is None:
+        # Metrics are global under GSPMD — only process 0 emits them.
+        writer = (
+            metrics_lib.MetricWriter(tc.train_logdir)
+            if jax.process_index() == 0
+            else metrics_lib.NullWriter()
+        )
 
     mesh = create_mesh(config.num_devices)
     repl = replicated_sharding(mesh)
@@ -222,21 +255,55 @@ def train(
     # semantics (SURVEY.md C8).
     if tc.checkpoint_path:
         pre = Checkpointer(tc.checkpoint_path)
-        target = {
-            "params": {
+
+        def _included(tree):
+            return {
                 scope: sub
-                for scope, sub in state.params.items()
+                for scope, sub in tree.items()
                 if not any(
                     scope.startswith(e) for e in tc.checkpoint_exclude_scopes
                 )
             }
-        }
-        restored = pre.restore_partial(target)
+
+        # Restore BN moving statistics alongside params: slim's
+        # assign_from_checkpoint_fn copies moving_mean/variance too, and with
+        # the default decay 0.9997 a warm-started run without them evals
+        # near chance for thousands of steps (ADVICE r1).
+        target = {"params": _included(state.params)}
+        bn_target = _included(state.batch_stats)
+        if bn_target:
+            target["batch_stats"] = bn_target
+        try:
+            restored = pre.restore_partial(target)
+        except Exception:
+            if "batch_stats" not in target:
+                raise
+            # Params-only checkpoint (no BN stats saved): fall back.
+            restored = pre.restore_partial({"params": target["params"]})
+
+        def _concrete(tree):
+            # Orbax partial restore hands back requested-but-absent subtrees
+            # as abstract ShapeDtypeStructs instead of raising; only copy
+            # subtrees that actually came off disk.
+            leaves = jax.tree.leaves(tree)
+            return bool(leaves) and not any(
+                isinstance(l, jax.ShapeDtypeStruct) for l in leaves
+            )
+
         state = state.replace(
             params=warm_start(
                 state.params, restored["params"], tc.checkpoint_exclude_scopes
             )
         )
+        restored_bn = restored.get("batch_stats")
+        if restored_bn and _concrete(restored_bn):
+            state = state.replace(
+                batch_stats=warm_start(
+                    state.batch_stats,
+                    restored_bn,
+                    tc.checkpoint_exclude_scopes,
+                )
+            )
         metrics_lib.log(f"warm-started from {tc.checkpoint_path}")
 
     ckpt = Checkpointer(tc.train_logdir) if tc.checkpoint_every > 0 else None
@@ -244,7 +311,20 @@ def train(
         state = ckpt.restore(state)
         metrics_lib.log(f"resumed from step {int(state.step)}")
 
-    state = jax.device_put(state, repl)
+    if jax.process_count() > 1:
+        # Multi-controller: assemble global replicated arrays from the
+        # (identical, same-seed) per-process state — device_put alone cannot
+        # address the other hosts' devices.
+        import numpy as _np
+
+        state = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, _np.asarray(x)
+            ),
+            state,
+        )
+    else:
+        state = jax.device_put(state, repl)
 
     train_step = jax.jit(
         make_train_step(model, tx, config),
@@ -254,7 +334,24 @@ def train(
     )
 
     if dataset_iter is None:
-        dataset_iter = make_dataset(config.data, train=True, seed=tc.seed)
+        n_proc = jax.process_count()
+        dcfg = config.data
+        if n_proc > 1:
+            # Multi-host input: each process streams a disjoint shard of the
+            # split at the LOCAL batch size; the prefetch layer assembles
+            # the global array (make_array_from_process_local_data).
+            if dcfg.batch_size % n_proc:
+                raise ValueError(
+                    f"global batch {dcfg.batch_size} not divisible by "
+                    f"{n_proc} processes"
+                )
+            import dataclasses as _dc
+
+            dcfg = _dc.replace(dcfg, batch_size=dcfg.batch_size // n_proc)
+        dataset_iter = make_dataset(
+            dcfg, train=True, seed=tc.seed,
+            shard_index=jax.process_index(), num_shards=n_proc,
+        )
     # Background-producer prefetch overlaps host batch prep with the device
     # step (SURVEY.md B4) — but only with a spare host core; on a single-CPU
     # host the producer thread starves dispatch (measured 7x slower).
@@ -309,13 +406,15 @@ def train(
             vals["steps_per_sec"] = timer.rate()
             vals["shapes_per_sec"] = timer.rate() * config.data.batch_size
             vals["lr"] = float(make_lr_schedule(tc)(step))
+            if steps_per_epoch > 0:
+                vals["epoch"] = round((step + 1) / steps_per_epoch, 3)
             writer.scalars(step + 1, vals)
             timer.reset()
         if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
-            ckpt.save(step + 1, jax.device_get(state))
+            ckpt.save(step + 1, _saveable(state))
     if ckpt is not None:
         if ckpt.latest_step() != int(state.step):
-            ckpt.save(int(state.step), jax.device_get(state), force=True)
+            ckpt.save(int(state.step), _saveable(state), force=True)
         ckpt.close()
     writer.flush()
     return state, mets

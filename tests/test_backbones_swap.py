@@ -44,10 +44,12 @@ def test_inception_v4_runs_at_224():
 
 def test_resnet50_shapes_224():
     _, feats, ep = shapes_of("resnet50", 224)
+    # slim resnet_v1 endpoint geometry: block stride at the LAST unit, so
+    # block1 is already 28x28 (torchvision would report 56x56 here).
     assert ep["conv1"].shape == (1, 56, 56, 64)
-    assert ep["block1"].shape == (1, 56, 56, 256)
-    assert ep["block2"].shape == (1, 28, 28, 512)
-    assert ep["block3"].shape == (1, 14, 14, 1024)
+    assert ep["block1"].shape == (1, 28, 28, 256)
+    assert ep["block2"].shape == (1, 14, 14, 512)
+    assert ep["block3"].shape == (1, 7, 7, 1024)
     assert ep["block4"].shape == (1, 7, 7, 2048)
     assert feats.shape == (1, 7, 7, 2048)
 
@@ -95,7 +97,44 @@ def test_real_forward_resnet_small():
         {"params": jax.random.key(0)}, x
     )
     feats, _ = jax.jit(functools.partial(model.apply, train=False))(variables, x)
-    assert feats.shape == (1, 8, 8, 256)
+    assert feats.shape == (1, 4, 4, 256)   # block1 strides at its last unit
+
+
+def test_inception_v2_shapes_224():
+    _, feats, ep = shapes_of("inception_v2", 224)
+    # Canonical slim inception_v2 tower shapes.
+    assert ep["Conv2d_1a_7x7"].shape == (1, 112, 112, 64)
+    assert ep["MaxPool_3a_3x3"].shape == (1, 28, 28, 192)
+    assert ep["Mixed_3b"].shape == (1, 28, 28, 256)
+    assert ep["Mixed_3c"].shape == (1, 28, 28, 320)
+    assert ep["Mixed_4a"].shape == (1, 14, 14, 576)
+    assert ep["Mixed_4e"].shape == (1, 14, 14, 576)
+    assert ep["Mixed_5a"].shape == (1, 7, 7, 1024)
+    assert ep["Mixed_5c"].shape == (1, 7, 7, 1024)
+    assert feats.shape == (1, 7, 7, 1024)
+
+
+def test_gvcnn_with_inception_v2():
+    import dataclasses
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.models import build_model
+
+    cfg = get_config("mn40_12view").replace(backbone="inception_v2")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, height=128, width=128,
+                                 batch_size=1, num_views=2),
+        compute_dtype="float32", use_pallas_grouping=False,
+    )
+    model = build_model(cfg)
+    x = jax.ShapeDtypeStruct((1, 2, 128, 128, 3), jnp.float32)
+    variables = jax.eval_shape(
+        functools.partial(model.init, train=False), {"params": jax.random.key(0)}, x
+    )
+    logits, ep = jax.eval_shape(
+        functools.partial(model.apply, train=False), variables, x
+    )
+    assert logits.shape == (1, 40)
+    assert ep["shape_descriptor"].shape == (1, 1024)
 
 
 def test_inception_v3_shapes_299():

@@ -36,6 +36,17 @@ def test_synthetic_class_conditional():
         np.testing.assert_array_equal(b1["views"], b2["views"])
 
 
+def test_synthetic_eval_yields_ragged_tail():
+    """Eval streams must cover the FULL split: 10 shapes / batch 4 ->
+    batches of 4, 4, 2 (train still drops the tail; it repeats anyway)."""
+    kw = dict(num_classes=3, num_views=2, height=8, width=8, batch_size=4,
+              num_shapes=10, seed=0, num_epochs=1)
+    sizes = [len(b["label"]) for b in synthetic_dataset(train=False, **kw)]
+    assert sizes == [4, 4, 2]
+    sizes_tr = [len(b["label"]) for b in synthetic_dataset(train=True, **kw)]
+    assert sizes_tr == [4, 4]
+
+
 def test_make_dataset_synthetic_fallback():
     cfg = DataConfig(dataset="synthetic", num_classes=5, num_views=3,
                      height=8, width=8, batch_size=2, synthetic_num_shapes=8)
@@ -127,3 +138,84 @@ def test_prefetch_async_preserves_order_and_terminates():
     it = prefetch_to_device_async(iter(host), size=1)
     next(it)
     it.close()
+
+
+def test_prefetch_async_propagates_producer_errors():
+    """An input-pipeline crash must surface to the consumer, not read as
+    clean exhaustion (ADVICE r1: train() would log 'dataset exhausted' and
+    exit as success mid-run)."""
+    from gvcnn_tf_tpu.data.prefetch import prefetch_to_device_async
+
+    def broken():
+        yield {"label": np.zeros(2, np.int32)}
+        raise RuntimeError("decode failed")
+
+    it = prefetch_to_device_async(broken(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_slim_preprocessing_eval_golden(tmp_path):
+    """slim eval geometry: central_crop(crop_fraction) of the ORIGINAL
+    image, THEN resize — checked against an independently computed crop on
+    a non-square source (where the square mode's resize-then-crop gives a
+    different answer)."""
+    tf = pytest.importorskip("tensorflow")
+    from PIL import Image
+
+    from gvcnn_tf_tpu.data.tfrecord import build_tfrecords, tfrecord_dataset
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 255, (40, 80, 3), np.uint8)  # non-square H=40 W=80
+    root = tmp_path / "imgs"
+    d = root / "chair" / "chair_0000"
+    d.mkdir(parents=True)
+    Image.fromarray(src).save(d / "view_00.png")
+    paths = build_tfrecords(str(root), str(tmp_path / "tfr"), 1,
+                            split_name="validation", num_shards=1)
+
+    kw = dict(num_views=1, height=16, width=16, batch_size=1, train=False,
+              drop_remainder=False, crop_fraction=0.5)
+    got_slim = next(iter(tfrecord_dataset(paths, preprocessing="slim", **kw)))
+    got_square = next(iter(tfrecord_dataset(paths, preprocessing="square", **kw)))
+
+    # Independent expectation: crop the central 50% of each dim of the
+    # ORIGINAL image (offsets floor((1-f)/2*dim), TF central_crop geometry),
+    # then the same bilinear resize.
+    f = 0.5
+    oh, ow = int((40 - 40 * f) / 2), int((80 - 80 * f) / 2)
+    crop = src[oh:oh + int(40 * f), ow:ow + int(80 * f)]
+    exp = tf.image.resize(
+        tf.cast(crop, tf.float32) / 255.0, (16, 16), antialias=False
+    ).numpy() * 2.0 - 1.0
+    np.testing.assert_allclose(got_slim["views"][0, 0], exp, atol=1e-5)
+    # And the two families genuinely differ on a non-square source.
+    assert np.abs(got_slim["views"] - got_square["views"]).max() > 0.05
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_slim_preprocessing_train_shapes(tmp_path):
+    """slim train path (distorted crop) produces valid static shapes."""
+    pytest.importorskip("tensorflow")
+    from PIL import Image
+
+    from gvcnn_tf_tpu.data.tfrecord import build_tfrecords, tfrecord_dataset
+
+    rng = np.random.RandomState(4)
+    root = tmp_path / "imgs"
+    for s in range(2):
+        d = root / "chair" / f"chair_{s:04d}"
+        d.mkdir(parents=True)
+        for v in range(2):
+            Image.fromarray(
+                rng.randint(0, 255, (48, 48, 3), np.uint8)
+            ).save(d / f"view_{v:02d}.png")
+    paths = build_tfrecords(str(root), str(tmp_path / "tfr"), 2,
+                            split_name="train", num_shards=1)
+    it = tfrecord_dataset(paths, num_views=2, height=16, width=16,
+                          batch_size=2, train=True, preprocessing="slim")
+    b = next(iter(it))
+    assert b["views"].shape == (2, 2, 16, 16, 3)
+    assert b["views"].min() >= -1.0 and b["views"].max() <= 1.0

@@ -39,11 +39,15 @@ def test_warm_start_from_pretrained_with_different_head(tmp_path):
     _, pre_vars = init_model(pre_cfg, jax.random.key(123),
                              input_shape=(2, 2, 32, 32, 3))
     pre_params = jax.tree.map(lambda x: np.asarray(x) + 1.0, pre_vars["params"])
+    # Non-trivial BN moving stats, like a converted ImageNet checkpoint.
+    pre_bn = jax.tree.map(lambda x: np.asarray(x) + 0.25,
+                          pre_vars["batch_stats"])
 
     ckpt_dir = tmp_path / "pretrained"
     mgr = ocp.CheckpointManager(str(ckpt_dir),
                                 options=ocp.CheckpointManagerOptions(create=True))
-    mgr.save(0, args=ocp.args.StandardSave({"params": pre_params}))
+    mgr.save(0, args=ocp.args.StandardSave(
+        {"params": pre_params, "batch_stats": pre_bn}))
     mgr.wait_until_finished()
     mgr.close()
 
@@ -74,6 +78,51 @@ def test_warm_start_from_pretrained_with_different_head(tmp_path):
 
     # Excluded scopes (Logits 10 vs 40 classes) kept their fresh shapes.
     assert state.params["Logits"]["kernel"].shape[-1] == 10
+
+    # BN moving statistics were warm-started too (ADVICE r1: slim's
+    # assign_from_checkpoint_fn restores moving_mean/variance; without them
+    # a 0.9997-decay run evals near chance).  One train step moved them only
+    # slightly from the pretrained values, and far from the fresh init.
+    got_bn = np.asarray(
+        state.batch_stats["InceptionV1"]["Conv2d_1a_7x7"]["BatchNorm"]["mean"]
+    )
+    pre_bn_leaf = np.asarray(
+        pre_bn["InceptionV1"]["Conv2d_1a_7x7"]["BatchNorm"]["mean"]
+    )
+    fresh_bn_leaf = np.asarray(
+        fresh_vars["batch_stats"]["InceptionV1"]["Conv2d_1a_7x7"]["BatchNorm"]["mean"]
+    )
+    assert np.abs(got_bn - pre_bn_leaf).mean() < 0.05
+    assert np.abs(got_bn - fresh_bn_leaf).mean() > 0.1
+
+
+def test_warm_start_from_raw_standard_checkpoint(tmp_path):
+    """A raw (step-less) StandardCheckpointer directory — the old
+    import_slim_checkpoint output format — is consumable via the
+    restore_partial fallback (ADVICE r1: this flow used to raise)."""
+    pre_cfg = _small(get_config("mn10_8view"), str(tmp_path / "x"))
+    _, pre_vars = init_model(pre_cfg, jax.random.key(9),
+                             input_shape=(2, 2, 32, 32, 3))
+    pre_params = jax.tree.map(lambda x: np.asarray(x) + 1.0,
+                              pre_vars["params"])
+    raw_dir = tmp_path / "raw_ckpt"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(raw_dir), {"params": pre_params})
+
+    cfg = _small(get_config("mn10_8view"), str(tmp_path / "run_raw"),
+                 ckpt_path=str(raw_dir))
+    from gvcnn_tf_tpu.data.synthetic import synthetic_dataset as sd
+    ds = sd(num_classes=10, num_views=2, height=32, width=32,
+            batch_size=2, num_shapes=4, seed=0)
+    state, mets = train(cfg, dataset_iter=ds)
+    assert np.isfinite(float(mets["loss"]))
+    got = np.asarray(
+        state.params["InceptionV1"]["Conv2d_1a_7x7"]["conv"]["kernel"]
+    )
+    pre = np.asarray(
+        pre_params["InceptionV1"]["Conv2d_1a_7x7"]["conv"]["kernel"]
+    )
+    assert np.abs(got - pre).mean() < 0.1
 
 
 def test_warm_start_missing_checkpoint_raises(tmp_path):
