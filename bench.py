@@ -107,8 +107,13 @@ def main():
     views_per_sec = d.batch_size * d.num_views / dt / n_chips
     shapes_per_sec = d.batch_size / dt / n_chips
 
-    # Inference path (serving): forward-only views/sec at the same batch.
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Inference path (serving): forward-only views/sec at the same batch,
+    # with BN folded into the conv kernels (exact; serve.py's default).
+    from gvcnn_tf_tpu.utils import fold_batch_norm
+
+    variables = fold_batch_norm(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
     out = fwd(variables, views)
     float(jax.device_get(out[0, 0]))
@@ -119,10 +124,51 @@ def main():
     dt_fwd = (time.perf_counter() - t0) / iters
     eval_views_per_sec = d.batch_size * d.num_views / dt_fwd
 
+    # Backbone-only train FLOPs (the conv tower is ~95% of model FLOPs,
+    # SURVEY.md section 3.4): attainment computed against these is the
+    # "conv-only roofline" view the north star asks for — whole-step MFU
+    # also counts optimizer/BN/grouping FLOPs and hides where loss is.
+    try:
+        from gvcnn_tf_tpu.models.backbones import get_backbone
+        import functools as _ft
+
+        bb_cls = get_backbone(cfg.backbone)
+        bb = bb_cls(dtype=jnp.dtype(cfg.compute_dtype))
+        xb = jnp.zeros(
+            (d.batch_size * d.num_views, d.height, d.width, 3), jnp.float32
+        )
+        bb_vars = jax.eval_shape(
+            _ft.partial(bb.init, train=False), {"params": jax.random.key(0)},
+            xb,
+        )
+        bb_vars = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), bb_vars
+        )
+
+        def bb_loss(p, x):
+            (f, _), _ = bb.apply(
+                {"params": p, "batch_stats": bb_vars["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(f.astype(jnp.float32))
+
+        bb_cost = (
+            jax.jit(jax.value_and_grad(bb_loss))
+            .lower(bb_vars["params"], xb).compile().cost_analysis()
+        ) or {}
+        backbone_train_flops = float(bb_cost.get("flops", 0.0))
+    except Exception:
+        backbone_train_flops = 0.0
+
     if step_flops > 0:
         roofline_frac = (step_flops / dt) / _peak_flops()
     else:
         roofline_frac = 0.0
+    conv_roofline_frac = (
+        (backbone_train_flops / dt) / _peak_flops()
+        if backbone_train_flops > 0
+        else 0.0
+    )
 
     print(json.dumps({
         "metric": "train_views_per_sec_per_chip_12view",
@@ -136,6 +182,8 @@ def main():
             "step_time_ms_min": round(samples[0] * 1e3, 2),
             "step_time_ms_max": round(samples[-1] * 1e3, 2),
             "step_flops": step_flops,
+            "backbone_train_flops": backbone_train_flops,
+            "conv_roofline_frac": round(conv_roofline_frac, 4),
             "device": jax.devices()[0].device_kind,
             "batch_shapes": d.batch_size,
             "loss": float(mets["loss"]),

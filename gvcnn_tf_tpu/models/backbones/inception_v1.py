@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # Truncated-normal stddev from slim's inception_v1 trunc_normal(0.09) [MED,
@@ -65,6 +66,72 @@ class ConvBNReLU(nn.Module):
             name="BatchNorm",
         )(x)
         return nn.relu(x)
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv kernel param under a module named 'conv', so alternative
+    stem implementations keep the exact checkpoint path
+    (.../conv/kernel) of the nn.Conv they replace."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _conv_init(), self.shape, jnp.float32)
+
+
+class SpaceToDepthStem(nn.Module):
+    """7x7/2 stem as a 4x4/1 conv on space-to-depth(2) input — the MLPerf
+    ResNet TPU trick.  A 3-channel stride-2 7x7 conv is MXU-hostile (C_in=3
+    pads to the 8-sublane tile at 37% occupancy and the stride-2 gather
+    defeats efficient im2col); transforming to (H/2, W/2, 12) inputs with an
+    equivalent 4x4 stride-1 kernel packs the same FLOPs densely.
+
+    EXACT equivalence with ConvBNReLU(64, (7,7), (2,2)) under TF-'SAME'
+    padding on even inputs (pad (2,3)): pad the input (2,4)/(2,4) and the
+    kernel to 8x8 with a zero bottom/right row — the extra zero row times
+    the extra pad row contributes nothing — then split both into 2x2 space
+    parities.  Parameters are IDENTICAL to the plain stem (a (7,7,3,64)
+    kernel at .../conv/kernel + the same BatchNorm), so checkpoints swap
+    freely between the two implementations (tested:
+    tests/test_space_to_depth.py).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel = _ConvKernel((7, 7, x.shape[-1], self.features),
+                             name="conv")()
+        c = x.shape[-1]
+        # Input: TF-SAME pad (2,3) for kernel 7 stride 2 on even H/W, plus
+        # one extra bottom/right row matching the kernel's zero row.
+        xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
+        n, h, w, _ = xp.shape
+        xs = xp.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, c, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        y = jax.lax.conv_general_dilated(
+            xs.astype(self.dtype),
+            k4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=0.001,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            use_scale=False,
+            name="BatchNorm",
+        )(y)
+        return nn.relu(y)
 
 
 class InceptionBlock(nn.Module):
@@ -145,6 +212,9 @@ class InceptionV1Base(nn.Module):
     final_endpoint: str = "Mixed_5c"
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9997
+    # Run the 7x7/2 stem as a 4x4/1 conv on space-to-depth input (exact
+    # equivalence, same params — see SpaceToDepthStem).  TPU-only benefit.
+    stem_space_to_depth: bool = False
 
     # Class-level metadata for the registry / GVCNN assembly.
     DEFAULT_RAW_ENDPOINT = "Mixed_3c"
@@ -164,8 +234,13 @@ class InceptionV1Base(nn.Module):
             kind = spec[0]
             if kind == "conv":
                 _, feats, kernel, stride = spec
-                x = ConvBNReLU(feats, kernel, stride, dtype=self.dtype,
-                               bn_momentum=self.bn_momentum, name=name)(x, train)
+                if name == "Conv2d_1a_7x7" and self.stem_space_to_depth:
+                    x = SpaceToDepthStem(
+                        feats, dtype=self.dtype,
+                        bn_momentum=self.bn_momentum, name=name)(x, train)
+                else:
+                    x = ConvBNReLU(feats, kernel, stride, dtype=self.dtype,
+                                   bn_momentum=self.bn_momentum, name=name)(x, train)
             elif kind == "pool":
                 _, kernel, stride = spec
                 x = nn.max_pool(x, kernel, strides=stride, padding="SAME")

@@ -40,6 +40,17 @@ def _global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(x, axis=(1, 2))
 
 
+def _backbone_kwargs(cfg: GVCNNConfig, backbone_cls) -> dict:
+    """Optional backbone constructor kwargs a config may override."""
+    kw = {}
+    if cfg.bn_momentum is not None:
+        kw["bn_momentum"] = cfg.bn_momentum
+    fields = getattr(backbone_cls, "__dataclass_fields__", {})
+    if cfg.stem_space_to_depth and "stem_space_to_depth" in fields:
+        kw["stem_space_to_depth"] = True
+    return kw
+
+
 def _resolve_endpoints(cfg: GVCNNConfig, backbone_cls) -> Tuple[str, str]:
     """(raw_endpoint, final_endpoint) valid for the chosen backbone.
 
@@ -110,8 +121,7 @@ class SingleViewClassifier(nn.Module):
         feats, endpoints = backbone_cls(
             final_endpoint=final_ep, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),
-            **({} if cfg.bn_momentum is None
-               else {"bn_momentum": cfg.bn_momentum}),
+            **_backbone_kwargs(cfg, backbone_cls),
         )(x, train)
         net = _global_avg_pool(feats.astype(jnp.float32))
         net = nn.Dropout(rate=1.0 - cfg.dropout_keep_prob,
@@ -153,8 +163,7 @@ class GVCNN(nn.Module):
         feats, endpoints = backbone_cls(
             final_endpoint=final_ep, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),
-            **({} if cfg.bn_momentum is None
-               else {"bn_momentum": cfg.bn_momentum}),
+            **_backbone_kwargs(cfg, backbone_cls),
         )(xf, train)
 
         # Final view descriptors: final endpoint + GAP (fp32 from here on —
@@ -221,8 +230,7 @@ class MVCNN(nn.Module):
         feats, _ = backbone_cls(
             final_endpoint=final_ep, dtype=dtype,
             name=getattr(backbone_cls, "NAME", cfg.backbone),
-            **({} if cfg.bn_momentum is None
-               else {"bn_momentum": cfg.bn_momentum}),
+            **_backbone_kwargs(cfg, backbone_cls),
         )(xf, train)
         descs = _global_avg_pool(feats.astype(jnp.float32)).reshape(B, V, -1)
         pooled = jnp.max(descs, axis=1)                   # view pooling

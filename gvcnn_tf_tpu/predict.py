@@ -53,6 +53,7 @@ def predict(
     views: Optional[np.ndarray] = None,
     state=None,
     class_names: Optional[Sequence[str]] = None,
+    fold_bn: bool = False,
 ):
     """Predict classes for shapes.
 
@@ -91,6 +92,10 @@ def predict(
             "batch_stats": init_vars.get("batch_stats", {}),
         }
         variables = Checkpointer(ckpt_dir).restore_partial(target)
+    if fold_bn:
+        from gvcnn_tf_tpu.utils import fold_batch_norm
+
+        variables = fold_batch_norm(variables)
 
     @jax.jit
     def forward(variables, x):
@@ -126,6 +131,8 @@ def main(argv=None):
     p.add_argument("--output_csv", default=None)
     p.add_argument("--labels_file", default=None,
                    help="labels.txt from the TFRecord builder")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="fold BatchNorm into conv kernels (exact)")
     args = p.parse_args(argv)
     config = config_from_flags(args)
     class_names = None
@@ -136,6 +143,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         view_dir=args.view_dir,
         class_names=class_names,
+        fold_bn=args.fold_bn,
     )
     for r in results:
         metrics_lib.log(

@@ -50,6 +50,7 @@ class InferenceEngine:
         *,
         state=None,
         serve_batch_size: int = 8,
+        fold_bn: bool = True,
     ):
         self.config = config
         self.batch = serve_batch_size
@@ -67,6 +68,11 @@ class InferenceEngine:
             variables = Checkpointer(checkpoint_dir).restore_partial(target)
         else:
             variables = init_vars
+        if fold_bn:
+            # Exact transform; serving defaults to the folded weights.
+            from gvcnn_tf_tpu.utils import fold_batch_norm
+
+            variables = fold_batch_norm(variables)
         self._variables = variables
         self._model = model
         self._lock = threading.Lock()
@@ -173,10 +179,11 @@ def make_handler(engine: InferenceEngine):
 
 
 def serve(config, checkpoint_dir=None, *, state=None, port=8390,
-          serve_batch_size=8, block=True):
+          serve_batch_size=8, block=True, fold_bn=True):
     """Start the server; returns (httpd, thread) when block=False."""
     engine = InferenceEngine(config, checkpoint_dir, state=state,
-                             serve_batch_size=serve_batch_size)
+                             serve_batch_size=serve_batch_size,
+                             fold_bn=fold_bn)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(engine))
     metrics_lib.log(f"serving on :{httpd.server_address[1]}")
     if block:

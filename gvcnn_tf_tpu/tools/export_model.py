@@ -33,8 +33,13 @@ def export_model(
     *,
     state=None,
     batch_size: Optional[int] = None,
+    fold_bn: bool = True,
 ) -> bytes:
-    """Serialize the eval-mode forward pass (weights baked in) -> bytes."""
+    """Serialize the eval-mode forward pass (weights baked in) -> bytes.
+
+    `fold_bn` (default on) folds BatchNorm scales into the baked-in conv
+    kernels first — an exact transform, so the exported StableHLO carries
+    pre-folded constants."""
     model, init_vars = init_model(config, jax.random.key(config.train.seed))
     if state is not None:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -48,6 +53,10 @@ def export_model(
         variables = Checkpointer(checkpoint_dir).restore_partial(target)
     else:
         variables = init_vars  # untrained export (shape/pipeline testing)
+    if fold_bn:
+        from gvcnn_tf_tpu.utils import fold_batch_norm
+
+        variables = fold_batch_norm(variables)
 
     d = config.data
     B = batch_size or d.batch_size
@@ -77,12 +86,15 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--export_batch_size", type=int, default=None)
+    p.add_argument("--no_fold_bn", action="store_true",
+                   help="export with BatchNorm left unfolded")
     args = p.parse_args(argv)
     config = config_from_flags(args)
     blob = export_model(
         config,
         checkpoint_dir=args.checkpoint_dir or config.train.train_logdir,
         batch_size=args.export_batch_size,
+        fold_bn=not args.no_fold_bn,
     )
     with open(args.output, "wb") as f:
         f.write(blob)

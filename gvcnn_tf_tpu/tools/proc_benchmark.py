@@ -1,0 +1,140 @@
+"""GVCNN vs MVCNN on the procedural multi-view benchmark (accuracy run).
+
+The in-container stand-in for the ModelNet +-0.3% parity mandate (round-1
+VERDICT "Next #3"): no ModelNet exists here and egress is zero, so this
+trains BOTH model families to convergence on renders of real parametric 3D
+shapes (data/procedural.py) — where some views are deliberately
+uninformative — and reports top-1 and retrieval mAP for each.  GVCNN's
+grouping module should match or beat the MVCNN max-pool baseline, mirroring
+the paper's 93.1 vs 90.1 ModelNet40 comparison (SURVEY.md section 6).
+
+CLI (runs on whatever device is available; real TPU intended):
+
+    python -m gvcnn_tf_tpu.tools.proc_benchmark \
+        --height 112 --num_views 8 --train_shapes 600 --eval_shapes 200 \
+        --steps 1200 --batch 16 --out docs/STATUS.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+
+from gvcnn_tf_tpu import metrics as metrics_lib
+from gvcnn_tf_tpu.configs import get_config
+
+
+def _config(model: str, a) -> "GVCNNConfig":
+    cfg = get_config("mn40_12view")
+    return cfg.replace(
+        model=model,
+        name=f"proc_{model}",
+        bn_momentum=0.9,               # short run: slim's 0.9997 never warms up
+        data=dataclasses.replace(
+            cfg.data,
+            dataset="procedural",
+            num_classes=10,
+            num_views=a.num_views,
+            height=a.height,
+            width=a.width,
+            batch_size=a.batch,
+            synthetic_num_shapes=a.train_shapes,
+            async_prefetch="off",      # renders are cached in RAM after epoch 1
+        ),
+        train=dataclasses.replace(
+            cfg.train,
+            num_steps=a.steps,
+            log_every=max(a.steps // 10, 1),
+            checkpoint_every=0,
+            train_logdir=f"/tmp/gvcnn_proc/{model}",
+            optimizer="adam",
+            learning_rate=a.learning_rate,
+            lr_decay_steps=max(a.steps // 3, 1),
+            seed=0,
+        ),
+    )
+
+
+def run_one(model: str, a) -> dict:
+    from gvcnn_tf_tpu.eval import evaluate
+    from gvcnn_tf_tpu.tools.retrieval import (
+        extract_descriptors,
+        retrieval_metrics,
+    )
+    from gvcnn_tf_tpu.train import train
+
+    cfg = _config(model, a)
+    t0 = time.perf_counter()
+    state, mets = train(cfg)
+    train_s = time.perf_counter() - t0
+
+    eval_cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, synthetic_num_shapes=a.eval_shapes
+        )
+    )
+    result = evaluate(eval_cfg, state=state)
+    descs, labels = extract_descriptors(eval_cfg, state=state)
+    retr = retrieval_metrics(descs, labels)
+    out = {
+        "model": model,
+        "top1": round(result["accuracy"], 4),
+        "count": result["count"],
+        "retrieval_mAP": round(retr["mAP"], 4),
+        "precision@5": round(retr["precision@5"], 4),
+        "final_train_acc": round(float(mets.get("accuracy", 0.0)), 4),
+        "train_seconds": round(train_s, 1),
+        "steps": a.steps,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="GVCNN vs MVCNN accuracy run")
+    p.add_argument("--num_views", type=int, default=8)
+    p.add_argument("--height", type=int, default=112)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--train_shapes", type=int, default=600)
+    p.add_argument("--eval_shapes", type=int, default=200)
+    p.add_argument("--steps", type=int, default=1200)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--models", default="gvcnn,mvcnn")
+    p.add_argument("--out", default=None, help="append a markdown table")
+    args = p.parse_args(argv)
+    if args.width is None:
+        args.width = args.height
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    results = [run_one(m.strip(), args) for m in args.models.split(",") if m]
+    if args.out:
+        lines = [
+            "",
+            f"## Procedural benchmark ({args.num_views} views, "
+            f"{args.height}x{args.width}, {args.train_shapes} train / "
+            f"{args.eval_shapes} eval shapes, {args.steps} steps, "
+            f"{jax.devices()[0].device_kind})",
+            "",
+            "| model | top-1 | retrieval mAP | p@5 | train acc | train s |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['model']} | {r['top1']} | {r['retrieval_mAP']} | "
+                f"{r['precision@5']} | {r['final_train_acc']} | "
+                f"{r['train_seconds']} |"
+            )
+        with open(args.out, "a") as f:
+            f.write("\n".join(lines) + "\n")
+        metrics_lib.log(f"appended results to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
