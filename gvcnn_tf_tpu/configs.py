@@ -141,6 +141,14 @@ class GVCNNConfig:
     # transform, identical params/checkpoints — the MLPerf ResNet TPU
     # trick; see models/backbones/inception_v1.py::SpaceToDepthStem).
     stem_space_to_depth: bool = False
+    # Merge Inception Mixed-block branch convolutions into wider convs for
+    # MXU lane occupancy: "none", "1x1" (the three 1x1s reading the block
+    # input run as one conv), or "full" (also the two 3x3s, block-diagonal
+    # kernel).  Exact math, identical checkpoints (see
+    # models/backbones/inception_v1.py::InceptionBlock).  Measured on
+    # v5e-1 (docs/PERF_VARIANTS.md): "1x1" is ~5% faster per train step,
+    # "full"'s block-diagonal FLOPs cancel the layout gain -> default 1x1.
+    merge_inception_branches: str = "1x1"
 
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
@@ -267,6 +275,14 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--score_squash", default=None,
                    help="score squash: softmax | sigmoid | sigmoid_log")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--stem_space_to_depth", action="store_true",
+                   default=None,
+                   help="run the 7x7/2 stem on space-to-depth input "
+                        "(exact; TPU layout optimization)")
+    p.add_argument("--merge_inception_branches", default=None,
+                   choices=["none", "1x1", "full"],
+                   help="merge Mixed-block branch convs into wider convs "
+                        "(exact; TPU MXU-occupancy optimization)")
     return p
 
 
@@ -283,7 +299,8 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("checkpoint_path", train_kw), ("seed", train_kw),
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
         ("bn_momentum", top_kw), ("group_weight", top_kw),
-        ("score_squash", top_kw),
+        ("score_squash", top_kw), ("stem_space_to_depth", top_kw),
+        ("merge_inception_branches", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

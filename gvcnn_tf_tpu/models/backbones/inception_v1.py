@@ -106,6 +106,10 @@ class SpaceToDepthStem(nn.Module):
         kernel = _ConvKernel((7, 7, x.shape[-1], self.features),
                              name="conv")()
         c = x.shape[-1]
+        # Cast BEFORE the pad/reshape/transpose shuffle: the space-to-depth
+        # rearrangement is a pure data movement over the full input and
+        # costs half the HBM traffic in bf16.
+        x = x.astype(self.dtype)
         # Input: TF-SAME pad (2,3) for kernel 7 stride 2 on even H/W, plus
         # one extra bottom/right row matching the kernel's zero row.
         xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
@@ -116,7 +120,7 @@ class SpaceToDepthStem(nn.Module):
         k4 = k8.reshape(4, 2, 4, 2, c, self.features)
         k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
         y = jax.lax.conv_general_dilated(
-            xs.astype(self.dtype),
+            xs,
             k4.astype(self.dtype),
             window_strides=(1, 1),
             padding="VALID",
@@ -134,6 +138,47 @@ class SpaceToDepthStem(nn.Module):
         return nn.relu(y)
 
 
+class _SplitConvBNReLU(nn.Module):
+    """One inception-branch conv whose matmul is executed by the PARENT.
+
+    Declares the identical parameter tree as ConvBNReLU (`conv/kernel` +
+    `BatchNorm/*`) but exposes the kernel and the BN+relu epilogue as
+    separate methods, so a Mixed block can concatenate several branches'
+    kernels into ONE wide convolution (see InceptionBlock.merge_branches)
+    and still apply each branch's own BatchNorm to its output slice.
+    Checkpoints swap freely with the unmerged block.
+    """
+
+    features: int
+    in_ch: int
+    kernel_hw: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
+
+    def setup(self):
+        # setup-assigned attribute names become the module names, giving
+        # the exact ConvBNReLU parameter paths: `conv/kernel`, `BatchNorm/*`.
+        self.conv = _ConvKernel(
+            self.kernel_hw + (self.in_ch, self.features)
+        )
+        self.BatchNorm = nn.BatchNorm(
+            momentum=self.bn_momentum,
+            epsilon=0.001,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            use_scale=False,
+        )
+
+    def kernel(self) -> jnp.ndarray:
+        return self.conv()
+
+    def bn_relu(self, y, train: bool = False):
+        return nn.relu(self.BatchNorm(y, use_running_average=not train))
+
+    def __call__(self, y, train: bool = False):  # pragma: no cover
+        return self.bn_relu(y, train)
+
+
 class InceptionBlock(nn.Module):
     """One Mixed_* block.
 
@@ -144,6 +189,19 @@ class InceptionBlock(nn.Module):
       Branch_1: 1x1 -> b1_reduce, 3x3 -> b1
       Branch_2: 1x1 -> b2_reduce, 3x3 -> b2
       Branch_3: maxpool 3x3/1, 1x1 -> b3
+
+    merge_branches ("none" | "1x1" | "full") is a TPU layout optimization
+    with identical math and identical checkpoints:
+      * "1x1": the three 1x1 convs reading the block input (Branch_0,
+        Branch_1 reduce, Branch_2 reduce) run as ONE conv with
+        b0+b1r+b2r output channels.  Small branch widths (16-96) pad onto
+        the MXU's 128-lane output tile at 12-75% occupancy when run
+        separately; merged they tile densely.  Exact: output channels of a
+        conv are independent.
+      * "full": additionally run the Branch_1/Branch_2 3x3 convs as one
+        conv over channel-concatenated inputs with a block-diagonal
+        kernel.  The zero blocks add extra (wasted) FLOPs but lift lane
+        occupancy; exact because x*0 terms add exact zeros.
     """
 
     b0: int
@@ -154,17 +212,76 @@ class InceptionBlock(nn.Module):
     b3: int
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9997
+    merge_branches: str = "none"
+
+    def _merged_conv(self, x, kernels, pads=None):
+        """One conv over `x` with kernels concatenated on the output axis.
+
+        `pads`: optional per-kernel (before, after) zero-padding widths on
+        the INPUT-channel axis, to build a block-diagonal kernel for convs
+        whose true inputs are channel-concatenated in `x`.
+        """
+        if pads is not None:
+            kernels = [
+                jnp.pad(k, ((0, 0), (0, 0), p, (0, 0)))
+                for k, p in zip(kernels, pads)
+            ]
+        K = jnp.concatenate(kernels, axis=-1).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), K,
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d, m = self.dtype, self.bn_momentum
-        br0 = ConvBNReLU(self.b0, (1, 1), dtype=d, bn_momentum=m, name="Branch_0_Conv2d_0a_1x1")(x, train)
-        br1 = ConvBNReLU(self.b1_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0a_1x1")(x, train)
-        br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0b_3x3")(br1, train)
-        br2 = ConvBNReLU(self.b2_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0a_1x1")(x, train)
-        br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0b_3x3")(br2, train)
+        if self.merge_branches == "none":
+            br0 = ConvBNReLU(self.b0, (1, 1), dtype=d, bn_momentum=m, name="Branch_0_Conv2d_0a_1x1")(x, train)
+            br1 = ConvBNReLU(self.b1_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0a_1x1")(x, train)
+            br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0b_3x3")(br1, train)
+            br2 = ConvBNReLU(self.b2_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0a_1x1")(x, train)
+            br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0b_3x3")(br2, train)
+            br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+            br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m, name="Branch_3_Conv2d_0b_1x1")(br3, train)
+            return jnp.concatenate([br0, br1, br2, br3], axis=-1)
+
+        c = x.shape[-1]
+        mb0 = _SplitConvBNReLU(self.b0, c, (1, 1), dtype=d, bn_momentum=m,
+                               name="Branch_0_Conv2d_0a_1x1")
+        mb1r = _SplitConvBNReLU(self.b1_reduce, c, (1, 1), dtype=d,
+                                bn_momentum=m, name="Branch_1_Conv2d_0a_1x1")
+        mb2r = _SplitConvBNReLU(self.b2_reduce, c, (1, 1), dtype=d,
+                                bn_momentum=m, name="Branch_2_Conv2d_0a_1x1")
+        y = self._merged_conv(x, [mb0.kernel(), mb1r.kernel(), mb2r.kernel()])
+        s0, s1 = self.b0, self.b0 + self.b1_reduce
+        br0 = mb0.bn_relu(y[..., :s0], train)
+        a1 = mb1r.bn_relu(y[..., s0:s1], train)
+        a2 = mb2r.bn_relu(y[..., s1:], train)
+
+        if self.merge_branches == "full":
+            mb1 = _SplitConvBNReLU(self.b1, self.b1_reduce, (3, 3), dtype=d,
+                                   bn_momentum=m,
+                                   name="Branch_1_Conv2d_0b_3x3")
+            mb2 = _SplitConvBNReLU(self.b2, self.b2_reduce, (3, 3), dtype=d,
+                                   bn_momentum=m,
+                                   name="Branch_2_Conv2d_0b_3x3")
+            z = self._merged_conv(
+                jnp.concatenate([a1, a2], axis=-1),
+                [mb1.kernel(), mb2.kernel()],
+                pads=[(0, self.b2_reduce), (self.b1_reduce, 0)],
+            )
+            br1 = mb1.bn_relu(z[..., : self.b1], train)
+            br2 = mb2.bn_relu(z[..., self.b1:], train)
+        else:
+            br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, bn_momentum=m,
+                             name="Branch_1_Conv2d_0b_3x3")(a1, train)
+            br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, bn_momentum=m,
+                             name="Branch_2_Conv2d_0b_3x3")(a2, train)
+
         br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m, name="Branch_3_Conv2d_0b_1x1")(br3, train)
+        br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m,
+                         name="Branch_3_Conv2d_0b_1x1")(br3, train)
         return jnp.concatenate([br0, br1, br2, br3], axis=-1)
 
 
@@ -215,6 +332,10 @@ class InceptionV1Base(nn.Module):
     # Run the 7x7/2 stem as a 4x4/1 conv on space-to-depth input (exact
     # equivalence, same params — see SpaceToDepthStem).  TPU-only benefit.
     stem_space_to_depth: bool = False
+    # Merge Mixed-block branch convs into wider convs for MXU lane
+    # occupancy ("none" | "1x1" | "full"); exact math, same checkpoints
+    # (see InceptionBlock docstring).
+    merge_branches: str = "none"
 
     # Class-level metadata for the registry / GVCNN assembly.
     DEFAULT_RAW_ENDPOINT = "Mixed_3c"
@@ -249,6 +370,7 @@ class InceptionV1Base(nn.Module):
                 x = InceptionBlock(b0, b1r, b1, b2r, b2, b3,
                                    dtype=self.dtype,
                                    bn_momentum=self.bn_momentum,
+                                   merge_branches=self.merge_branches,
                                    name=name)(x, train)
             endpoints[name] = x
             if name == self.final_endpoint:

@@ -48,6 +48,9 @@ def _backbone_kwargs(cfg: GVCNNConfig, backbone_cls) -> dict:
     fields = getattr(backbone_cls, "__dataclass_fields__", {})
     if cfg.stem_space_to_depth and "stem_space_to_depth" in fields:
         kw["stem_space_to_depth"] = True
+    if (cfg.merge_inception_branches != "none"
+            and "merge_branches" in fields):
+        kw["merge_branches"] = cfg.merge_inception_branches
     return kw
 
 

@@ -78,11 +78,19 @@ def bench_endpoint(
     dtype: str,
     mode: str,
     iters: int,
+    merge: str = "none",
+    s2d: bool = False,
 ):
     """-> dict(t, flops, bytes) for the backbone truncated at `endpoint`."""
     cls = get_backbone(backbone)
+    fields = getattr(cls, "__dataclass_fields__", {})
+    kw = {}
+    if merge != "none" and "merge_branches" in fields:
+        kw["merge_branches"] = merge
+    if s2d and "stem_space_to_depth" in fields:
+        kw["stem_space_to_depth"] = True
     model = cls(final_endpoint=endpoint, dtype=jnp.dtype(dtype),
-                bn_momentum=0.9)
+                bn_momentum=0.9, **kw)
     x = jnp.zeros((batch, height, width, 3), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.key(0)}, x
@@ -130,6 +138,8 @@ def run(
     iters: int = 10,
     endpoints: Optional[list] = None,
     out: Optional[str] = None,
+    merge: str = "none",
+    s2d: bool = False,
 ):
     peak_flops, peak_bw = device_peaks()
     cls = get_backbone(backbone)
@@ -140,7 +150,7 @@ def run(
     for ep in eps:
         cur = bench_endpoint(
             backbone, ep, batch=batch, height=height, width=width,
-            dtype=dtype, mode=mode, iters=iters,
+            dtype=dtype, mode=mode, iters=iters, merge=merge, s2d=s2d,
         )
         dt = cur["t"] - prev["t"]
         dflops = cur["flops"] - prev["flops"]
@@ -218,6 +228,11 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--endpoints", default=None,
                    help="comma-separated subset (default: all)")
+    p.add_argument("--merge", default="none",
+                   choices=["none", "1x1", "full"],
+                   help="merge_branches layout variant to attribute")
+    p.add_argument("--s2d", action="store_true",
+                   help="use the space-to-depth stem")
     p.add_argument("--out", default=None, help="append markdown table here")
     args = p.parse_args(argv)
     from gvcnn_tf_tpu.utils import setup_compilation_cache
@@ -229,6 +244,8 @@ def main(argv=None):
         iters=args.iters,
         endpoints=args.endpoints.split(",") if args.endpoints else None,
         out=args.out,
+        merge=args.merge,
+        s2d=args.s2d,
     )
 
 

@@ -1,0 +1,147 @@
+"""Sweep flagship train-step time across layout/config variants on TPU.
+
+Companion to tools/bench_layers.py (per-layer attribution): this answers
+"which exact-math layout knobs actually move the step" — space-to-depth
+stem, merged Inception branches, remat, Pallas grouping, batch size — by
+timing the REAL jitted train step for each variant.
+
+Usage:
+
+    python -m gvcnn_tf_tpu.tools.bench_variants --batch 32 \
+        --out docs/PERF_VARIANTS.md
+
+Prints one JSON line per variant; optionally appends a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
+    """-> (median step seconds, XLA-counted step FLOPs)."""
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=batch)
+    )
+    d = cfg.data
+    model, tx, state = create_train_state(cfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+
+    rng = np.random.RandomState(0)
+    views = jnp.asarray(
+        rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
+        jnp.float32,
+    )
+    labels = jnp.asarray(
+        rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32
+    )
+    batch_data = {"views": views, "label": labels}
+    key = jax.random.key(1)
+
+    try:
+        cost = (
+            jax.jit(make_train_step(model, tx, cfg))
+            .lower(state, batch_data, key).compile().cost_analysis()
+        ) or {}
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+
+    for _ in range(3):
+        state, mets = step(state, batch_data, key)
+    float(jax.device_get(mets["loss"]))
+    samples = []
+    for _ in range(max(iters // chunk, 2)):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            state, mets = step(state, batch_data, key)
+        float(jax.device_get(mets["loss"]))
+        samples.append((time.perf_counter() - t0) / chunk)
+    samples.sort()
+    return samples[len(samples) // 2], flops
+
+
+# (name, config overrides) — all exact-math layout knobs.
+VARIANTS = [
+    ("baseline", {}),
+    ("s2d_stem", {"stem_space_to_depth": True}),
+    ("merge_1x1", {"merge_inception_branches": "1x1"}),
+    ("merge_full", {"merge_inception_branches": "full"}),
+    ("s2d+merge_1x1", {"stem_space_to_depth": True,
+                       "merge_inception_branches": "1x1"}),
+    ("s2d+merge_full", {"stem_space_to_depth": True,
+                        "merge_inception_branches": "full"}),
+    ("remat", {"remat_backbone": True}),
+    ("pallas_grouping", {"use_pallas_grouping": True}),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="mn40_12view")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--variants", default=None,
+                   help="comma-separated subset of variant names")
+    p.add_argument("--out", default=None, help="append markdown table here")
+    args = p.parse_args(argv)
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    base = get_config(args.config)
+    want = set(args.variants.split(",")) if args.variants else None
+
+    rows = []
+    base_dt = None
+    for name, overrides in VARIANTS:
+        if want and name not in want:
+            continue
+        cfg = base.replace(**overrides)
+        dt, flops = time_variant(cfg, args.batch, iters=args.iters)
+        if base_dt is None and name == "baseline":
+            base_dt = dt
+        row = {
+            "variant": name,
+            "step_ms": round(dt * 1e3, 2),
+            "views_per_sec": round(
+                args.batch * base.data.num_views / dt, 1
+            ),
+            "step_gflops": round(flops / 1e9, 1),
+            "speedup_vs_baseline": (
+                round(base_dt / dt, 4) if base_dt else None
+            ),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out and rows:
+        lines = [
+            f"# Train-step variants: {args.config} "
+            f"(batch {args.batch}, {jax.devices()[0].device_kind})",
+            "",
+            "| variant | step ms | views/s | step GFLOP | speedup |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['variant']} | {r['step_ms']} | "
+                f"{r['views_per_sec']} | {r['step_gflops']} | "
+                f"{r['speedup_vs_baseline']} |"
+            )
+        with open(args.out, "a") as f:
+            f.write("\n".join(lines) + "\n\n")
+
+
+if __name__ == "__main__":
+    main()
