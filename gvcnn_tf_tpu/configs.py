@@ -141,6 +141,12 @@ class GVCNNConfig:
     # transform, identical params/checkpoints — the MLPerf ResNet TPU
     # trick; see models/backbones/inception_v1.py::SpaceToDepthStem).
     stem_space_to_depth: bool = False
+    # Run the 7x7/2 stem conv as a hand-written Pallas kernel (TPU-only;
+    # exact math up to bf16 reassociation, identical checkpoints).  XLA's
+    # lowering of the 3-channel stride-2 stem is the model's single worst
+    # op on v5e (docs/PERF_LAYERS.md); the kernel builds im2col on-chip.
+    # Auto-falls back to the XLA conv off-TPU.
+    stem_pallas: bool = False
     # Merge Inception Mixed-block branch convolutions into wider convs for
     # MXU lane occupancy: "none", "1x1" (the three 1x1s reading the block
     # input run as one conv), or "full" (also the two 3x3s, block-diagonal
@@ -279,6 +285,9 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=None,
                    help="run the 7x7/2 stem on space-to-depth input "
                         "(exact; TPU layout optimization)")
+    p.add_argument("--stem_pallas", action="store_true", default=None,
+                   help="run the 7x7/2 stem as a Pallas TPU kernel "
+                        "(exact up to bf16 reassociation)")
     p.add_argument("--merge_inception_branches", default=None,
                    choices=["none", "1x1", "full"],
                    help="merge Mixed-block branch convs into wider convs "
@@ -300,7 +309,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
         ("bn_momentum", top_kw), ("group_weight", top_kw),
         ("score_squash", top_kw), ("stem_space_to_depth", top_kw),
-        ("merge_inception_branches", top_kw),
+        ("stem_pallas", top_kw), ("merge_inception_branches", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

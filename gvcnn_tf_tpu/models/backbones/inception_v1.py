@@ -179,6 +179,34 @@ class _SplitConvBNReLU(nn.Module):
         return self.bn_relu(y, train)
 
 
+class PallasStem(nn.Module):
+    """7x7/2 stem running the conv as a hand-written Pallas TPU kernel
+    (ops/pallas_stem.py). Identical parameter tree to ConvBNReLU
+    (.../conv/kernel + BatchNorm); output matches the XLA lowering up to
+    bf16 reassociation. The kernel emits bf16; BN statistics stay fp32."""
+
+    features: int
+    in_ch: int
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.9997
+
+    def setup(self):
+        self.conv = _ConvKernel((7, 7, self.in_ch, self.features))
+        self.BatchNorm = nn.BatchNorm(
+            momentum=self.bn_momentum,
+            epsilon=0.001,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            use_scale=False,
+        )
+
+    def __call__(self, x, train: bool = False):
+        from gvcnn_tf_tpu.ops.pallas_stem import stem_conv
+
+        y = stem_conv(x, self.conv()).astype(self.dtype)
+        return nn.relu(self.BatchNorm(y, use_running_average=not train))
+
+
 class InceptionBlock(nn.Module):
     """One Mixed_* block.
 
@@ -336,6 +364,11 @@ class InceptionV1Base(nn.Module):
     # occupancy ("none" | "1x1" | "full"); exact math, same checkpoints
     # (see InceptionBlock docstring).
     merge_branches: str = "none"
+    # Run the 7x7/2 stem as a hand-written Pallas kernel (TPU only; exact
+    # math up to bf16 reassociation, same checkpoints — see
+    # ops/pallas_stem.py for why XLA's lowering of this op is the model's
+    # single worst-performing layer).
+    stem_pallas: bool = False
 
     # Class-level metadata for the registry / GVCNN assembly.
     DEFAULT_RAW_ENDPOINT = "Mixed_3c"
@@ -355,7 +388,11 @@ class InceptionV1Base(nn.Module):
             kind = spec[0]
             if kind == "conv":
                 _, feats, kernel, stride = spec
-                if name == "Conv2d_1a_7x7" and self.stem_space_to_depth:
+                if name == "Conv2d_1a_7x7" and self.stem_pallas:
+                    x = PallasStem(
+                        feats, x.shape[-1], dtype=self.dtype,
+                        bn_momentum=self.bn_momentum, name=name)(x, train)
+                elif name == "Conv2d_1a_7x7" and self.stem_space_to_depth:
                     x = SpaceToDepthStem(
                         feats, dtype=self.dtype,
                         bn_momentum=self.bn_momentum, name=name)(x, train)

@@ -51,6 +51,9 @@ def _backbone_kwargs(cfg: GVCNNConfig, backbone_cls) -> dict:
     if (cfg.merge_inception_branches != "none"
             and "merge_branches" in fields):
         kw["merge_branches"] = cfg.merge_inception_branches
+    if (cfg.stem_pallas and "stem_pallas" in fields
+            and jax.default_backend() == "tpu"):
+        kw["stem_pallas"] = True
     return kw
 
 
