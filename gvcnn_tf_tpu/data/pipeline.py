@@ -22,7 +22,7 @@ Batch = Dict[str, np.ndarray]   # {'views': (B,V,H,W,3) f32, 'label': (B,) i32}
 def _resolve_loader(data_cfg: DataConfig) -> str:
     loader = data_cfg.loader
     if loader == "auto":
-        if data_cfg.dataset == "procedural":
+        if data_cfg.dataset in ("procedural", "procedural_hard"):
             loader = "procedural"
         elif data_cfg.dataset == "synthetic" or not data_cfg.dataset_dir:
             loader = "synthetic"
@@ -121,6 +121,7 @@ def make_dataset(
             num_epochs=num_epochs,
             shard_index=shard_index,
             num_shards=num_shards,
+            hard=data_cfg.dataset == "procedural_hard",
         )
 
     if loader == "synthetic":

@@ -248,10 +248,12 @@ def render_views(
     num_views: int,
     res: int,
     azimuth0: float = 0.0,
+    topdown_every: int = 4,
+    topdown_deg: float = 75.0,
 ) -> np.ndarray:
     """-> (V, res, res) float in [0, 1].  MVCNN-style orbit: evenly spaced
-    azimuths at 30 deg elevation; every 4th view near-top-down (75 deg),
-    the deliberately less-informative views."""
+    azimuths at 30 deg elevation; every `topdown_every`-th view near-top-
+    down (`topdown_deg`), the deliberately less-informative views."""
     center = (verts.max(0) + verts.min(0)) / 2
     v0 = verts - center
     scale = 0.9 / (np.abs(v0).max() + 1e-9)     # one scale for ALL views
@@ -259,7 +261,9 @@ def render_views(
     out = np.empty((num_views, res, res), np.float32)
     for i in range(num_views):
         az = azimuth0 + 2 * np.pi * i / num_views
-        el = np.deg2rad(75.0 if i % 4 == 3 else 30.0)
+        el = np.deg2rad(
+            topdown_deg if i % topdown_every == topdown_every - 1 else 30.0
+        )
         out[i] = rasterize(v0 @ _rot(az, el).T, faces, res)
     return out
 
@@ -277,11 +281,15 @@ def build_procedural_split(
     num_shapes: int,
     seed: int,
     train_split: bool,
+    hard: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """-> (views uint8 (N, V, H, W, 3), labels int32 (N,)).
 
     Train and validation draw disjoint instance seeds of the same classes.
-    `height` must equal `width` (square renders).
+    `height` must equal `width` (square renders).  `hard` renders HALF the
+    views from 85-degree near-overhead cameras (most classes collapse to
+    their footprint) — the regime where score-based view grouping must
+    out-select uniform max-pooling.
     """
     assert height == width, "procedural renders are square"
     n_cls = len(CLASSES)
@@ -293,7 +301,11 @@ def build_procedural_split(
         _, builder = CLASSES[labels[i]]
         verts, faces = builder(rng)
         az0 = rng.uniform(0, 2 * np.pi / num_views)   # per-instance orbit phase
-        imgs = render_views(verts, faces, num_views, height, azimuth0=az0)
+        imgs = render_views(
+            verts, faces, num_views, height, azimuth0=az0,
+            topdown_every=2 if hard else 4,
+            topdown_deg=85.0 if hard else 75.0,
+        )
         views[i] = np.repeat(
             (imgs * 255).astype(np.uint8)[..., None], 3, axis=-1
         )
@@ -313,6 +325,7 @@ def procedural_dataset(
     num_epochs: Optional[int] = None,
     shard_index: int = 0,
     num_shards: int = 1,
+    hard: bool = False,
 ) -> Iterator[dict]:
     """Iterator of {'views': (B, V, H, W, 3) f32 in [-1, 1], 'label': (B,)}.
 
@@ -326,7 +339,7 @@ def procedural_dataset(
         )
     views, labels = build_procedural_split(
         num_views=num_views, height=height, width=width,
-        num_shapes=num_shapes, seed=seed, train_split=train,
+        num_shapes=num_shapes, seed=seed, train_split=train, hard=hard,
     )
     shard = np.arange(num_shapes)[shard_index::num_shards]
     order_rng = np.random.RandomState(seed + 7 + shard_index)

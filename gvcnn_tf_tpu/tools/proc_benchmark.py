@@ -36,7 +36,7 @@ def _config(model: str, a) -> "GVCNNConfig":
         bn_momentum=0.9,               # short run: slim's 0.9997 never warms up
         data=dataclasses.replace(
             cfg.data,
-            dataset="procedural",
+            dataset="procedural_hard" if a.hard else "procedural",
             num_classes=10,
             num_views=a.num_views,
             height=a.height,
@@ -104,6 +104,10 @@ def main(argv=None):
     p.add_argument("--eval_shapes", type=int, default=200)
     p.add_argument("--steps", type=int, default=1200)
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--hard", action="store_true",
+                   help="hard variant: half the views near-overhead "
+                        "(85 deg) — the regime where grouping must beat "
+                        "uniform max-pooling")
     p.add_argument("--models", default="gvcnn,mvcnn")
     p.add_argument("--out", default=None, help="append a markdown table")
     args = p.parse_args(argv)
@@ -117,7 +121,8 @@ def main(argv=None):
     if args.out:
         lines = [
             "",
-            f"## Procedural benchmark ({args.num_views} views, "
+            f"## Procedural benchmark{' (HARD)' if args.hard else ''} "
+            f"({args.num_views} views, "
             f"{args.height}x{args.width}, {args.train_shapes} train / "
             f"{args.eval_shapes} eval shapes, {args.steps} steps, "
             f"{jax.devices()[0].device_kind})",
