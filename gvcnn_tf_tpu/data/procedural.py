@@ -288,8 +288,11 @@ def build_procedural_split(
     Train and validation draw disjoint instance seeds of the same classes.
     `height` must equal `width` (square renders).  `hard` renders HALF the
     views from 85-degree near-overhead cameras (most classes collapse to
-    their footprint) — the regime where score-based view grouping must
-    out-select uniform max-pooling.
+    their footprint) and CLUTTERS those views with random occluder
+    rectangles — actively misleading features that uniform max-pooling
+    propagates into the shape descriptor but score-based grouping can
+    down-weight (the regime the GVCNN paper motivates: views vary in
+    discriminativeness; the easy variant saturates both models).
     """
     assert height == width, "procedural renders are square"
     n_cls = len(CLASSES)
@@ -306,6 +309,15 @@ def build_procedural_split(
             topdown_every=2 if hard else 4,
             topdown_deg=85.0 if hard else 75.0,
         )
+        if hard:  # clutter the degenerate views with occluder rectangles
+            for v in range(1, num_views, 2):
+                for _ in range(4):
+                    h0 = rng.randint(0, max(height - 8, 1))
+                    w0 = rng.randint(0, max(width - 8, 1))
+                    dh = rng.randint(height // 8, height // 3)
+                    dw = rng.randint(width // 8, width // 3)
+                    shade = rng.uniform(0.0, 0.9)
+                    imgs[v, h0:h0 + dh, w0:w0 + dw] = shade
         views[i] = np.repeat(
             (imgs * 255).astype(np.uint8)[..., None], 3, axis=-1
         )

@@ -71,3 +71,24 @@ def test_topdown_views_are_less_discriminative():
     side = np.abs(a[0] - b[0]).mean()               # 30 deg elevation
     top = np.abs(a[3] - b[3]).mean()                # 75 deg elevation
     assert top < side, (top, side)
+
+
+def test_hard_mode_clutters_topdown_views_only():
+    from gvcnn_tf_tpu.data.procedural import build_procedural_split
+
+    easy, _ = build_procedural_split(
+        num_views=4, height=32, width=32, num_shapes=2, seed=3,
+        train_split=True,
+    )
+    hard, _ = build_procedural_split(
+        num_views=4, height=32, width=32, num_shapes=2, seed=3,
+        train_split=True, hard=True,
+    )
+    assert easy.shape == hard.shape
+    # Even-index views: same 30-degree orbit cameras, no clutter -> equal.
+    import numpy as np
+
+    np.testing.assert_array_equal(hard[:, 0], easy[:, 0])
+    np.testing.assert_array_equal(hard[:, 2], easy[:, 2])
+    # Odd-index views differ (85 vs 30/75 deg cameras + occluders).
+    assert (hard[:, 1] != easy[:, 1]).mean() > 0.05
