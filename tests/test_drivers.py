@@ -15,6 +15,10 @@ from gvcnn_tf_tpu.eval import evaluate as eval_fn
 from gvcnn_tf_tpu.predict import predict as predict_fn
 from gvcnn_tf_tpu.train import train as train_fn
 
+# Full-model compiles / train loops: minutes each on a 1-core host.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

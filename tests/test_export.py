@@ -4,10 +4,15 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from gvcnn_tf_tpu.configs import get_config
 from gvcnn_tf_tpu.models.gvcnn import init_model
 from gvcnn_tf_tpu.tools.export_model import deserialize_and_call, export_model
+
+# Full-model compiles / train loops: minutes each on a 1-core host.
+pytestmark = pytest.mark.slow
+
 
 
 def test_export_roundtrip_matches_live_model():

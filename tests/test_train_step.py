@@ -50,6 +50,7 @@ def make_batch(cfg, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_single_train_step_updates_state():
     cfg = tiny_config()
     model, tx, state = create_train_state(cfg, jax.random.key(0))
@@ -72,6 +73,7 @@ def test_single_train_step_updates_state():
     assert max(jax.tree.leaves(bn_diff)) > 0
 
 
+@pytest.mark.slow
 def test_overfit_small_batch():
     """Overfit-8-samples sanity (SURVEY.md section 4): loss must drop
     substantially on a fixed batch."""
@@ -89,6 +91,7 @@ def test_overfit_small_batch():
     assert last < first * 0.5, (first, last)
 
 
+@pytest.mark.slow
 def test_multiview_train_step():
     cfg = tiny_config("mn10_8view")
     model, tx, state = create_train_state(cfg, jax.random.key(0))

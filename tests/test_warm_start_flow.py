@@ -14,6 +14,10 @@ from gvcnn_tf_tpu.data.synthetic import synthetic_dataset
 from gvcnn_tf_tpu.models.gvcnn import init_model
 from gvcnn_tf_tpu.train import train
 
+# Full-model compiles / train loops: minutes each on a 1-core host.
+pytestmark = pytest.mark.slow
+
+
 
 def _small(cfg, logdir, ckpt_path="", num_classes=10):
     return cfg.replace(
