@@ -85,6 +85,11 @@ class TrainConfig:
     seed: int = 0
     label_smoothing: float = 0.0
     grad_clip_norm: float = 0.0          # 0 = off
+    # Gradient accumulation: split each batch into this many microbatches
+    # (lax.scan, one microbatch's activations live at a time) and average
+    # their grads before the optimizer step — large effective batches
+    # beyond HBM. BN statistics chain per microbatch (standard semantics).
+    accumulate_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,6 +269,8 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=None,
                    help="train for N epochs over the split (overrides steps)")
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--accumulate_steps", type=int, default=None,
+                   help="gradient-accumulation microbatches per step")
     p.add_argument("--train_logdir", default=None)
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--dataset", default=None)
@@ -305,6 +312,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("epochs", train_kw), ("steps_per_epoch", train_kw),
+        ("accumulate_steps", train_kw),
         ("checkpoint_path", train_kw), ("seed", train_kw),
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
         ("bn_momentum", top_kw), ("group_weight", top_kw),

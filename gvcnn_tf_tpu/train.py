@@ -103,34 +103,73 @@ def make_train_step(
 
     tc = config.train
 
+    def loss_for(params, batch_stats, views, labels, dropout_rng):
+        (logits, _), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            views,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        logits = logits.astype(jnp.float32)
+        if tc.label_smoothing > 0:
+            n = logits.shape[-1]
+            onehot = jax.nn.one_hot(labels, n)
+            soft = onehot * (1 - tc.label_smoothing) + tc.label_smoothing / n
+            ce = optax.softmax_cross_entropy(logits, soft).mean()
+        else:
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+        loss = ce + l2_regularization(params, tc.weight_decay)
+        return loss, (logits, updates["batch_stats"])
+
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
         views, labels = batch["views"], batch["label"]
 
-        def loss_fn(params):
-            (logits, _), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                views,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": step_rng},
+        k = max(tc.accumulate_steps, 1)
+        if k == 1:
+            (loss, (logits, new_bn)), grads = jax.value_and_grad(
+                loss_for, has_aux=True
+            )(state.params, state.batch_stats, views, labels, step_rng)
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
             )
-            logits = logits.astype(jnp.float32)
-            if tc.label_smoothing > 0:
-                n = logits.shape[-1]
-                onehot = jax.nn.one_hot(labels, n)
-                soft = onehot * (1 - tc.label_smoothing) + tc.label_smoothing / n
-                ce = optax.softmax_cross_entropy(logits, soft).mean()
-            else:
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels
-                ).mean()
-            loss = ce + l2_regularization(params, tc.weight_decay)
-            return loss, (logits, updates["batch_stats"])
+        else:
+            # Gradient accumulation: lax.scan over k microbatches holds ONE
+            # microbatch's activations at a time (the memory knob for large
+            # effective batches), params fixed across the scan so the mean
+            # of microbatch grads equals the full-batch grad. BatchNorm
+            # statistics chain sequentially through the microbatches
+            # (standard accumulation semantics: normalization is per
+            # microbatch, not per effective batch).
+            b = views.shape[0]
+            if b % k:
+                raise ValueError(
+                    f"batch_size {b} not divisible by accumulate_steps {k}"
+                )
+            mviews = views.reshape((k, b // k) + views.shape[1:])
+            mlabels = labels.reshape(k, b // k)
+            midx = jnp.arange(k)
 
-        (loss, (logits, new_bn)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def micro(bn, xs):
+                v, l, i = xs
+                (loss_i, (logits_i, bn_new)), grads_i = jax.value_and_grad(
+                    loss_for, has_aux=True
+                )(state.params, bn, v, l, jax.random.fold_in(step_rng, i))
+                acc_i = jnp.mean(
+                    (jnp.argmax(logits_i, -1) == l).astype(jnp.float32)
+                )
+                return bn_new, (grads_i, loss_i, acc_i)
+
+            new_bn, (gstack, losses, accs) = jax.lax.scan(
+                micro, state.batch_stats, (mviews, mlabels, midx)
+            )
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gstack)
+            loss = jnp.mean(losses)
+            acc = jnp.mean(accs)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -139,7 +178,6 @@ def make_train_step(
             batch_stats=new_bn,
             opt_state=new_opt_state,
         )
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         mets = {
             "loss": loss,
             "accuracy": acc,

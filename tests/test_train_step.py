@@ -119,3 +119,103 @@ def test_lr_schedule_exponential_staircase():
     assert lr0 == pytest.approx(cfg.learning_rate)
     assert lr_mid == pytest.approx(cfg.learning_rate)   # staircase: flat
     assert lr_next == pytest.approx(cfg.learning_rate * cfg.lr_decay_rate)
+
+
+def test_gradient_accumulation_matches_manual_microbatching():
+    """accumulate_steps=2 must reproduce EXACTLY the manual emulation:
+    per-microbatch grads (BN stats chained), averaged, then one optimizer
+    step. (A full-batch comparison cannot be exact in fp32: BN's tiny
+    init-time batch-sigma amplifies the backward's cancelling sums, so
+    different-batch-shape XLA programs legitimately diverge numerically.)
+    """
+    import dataclasses
+
+    import optax
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+
+    base = get_config("mn10_8view")
+    cfg = base.replace(
+        compute_dtype="float32",
+        dropout_keep_prob=1.0,
+        data=dataclasses.replace(
+            base.data, height=32, width=32, num_views=2, batch_size=4,
+        ),
+        train=dataclasses.replace(
+            base.train, optimizer="sgd", learning_rate=0.01,
+        ),
+    )
+    rng = jax.random.key(0)
+    model, tx, state0 = create_train_state(cfg, rng)
+
+    views = jnp.asarray(
+        np.random.RandomState(0).randn(4, 2, 32, 32, 3).astype(np.float32)
+    )
+    labels = jnp.asarray(np.array([3, 7, 1, 5], np.int32))
+    batch = {"views": views, "label": labels}
+    key = jax.random.key(1)
+
+    cfg2 = cfg.replace(
+        train=dataclasses.replace(cfg.train, accumulate_steps=2)
+    )
+    step2 = jax.jit(make_train_step(model, tx, cfg2))
+    s2, m2 = step2(state0, batch, key)
+
+    # Manual emulation of the scan (same microbatch programs).
+    from gvcnn_tf_tpu.train import l2_regularization
+
+    tc = cfg.train
+    step_rng = jax.random.fold_in(key, state0.step)
+
+    def loss_for(params, bn, v, l, r):
+        (logits, _), upd = model.apply(
+            {"params": params, "batch_stats": bn}, v, train=True,
+            mutable=["batch_stats"], rngs={"dropout": r},
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), l
+        ).mean()
+        return ce + l2_regularization(params, tc.weight_decay), (
+            logits, upd["batch_stats"],
+        )
+
+    @jax.jit
+    def manual(state, views, labels):
+        bn = state.batch_stats
+        gsum, lsum = None, 0.0
+        for i in range(2):
+            v, l = views[2 * i:2 * i + 2], labels[2 * i:2 * i + 2]
+            (loss_i, (_, bn)), g_i = jax.value_and_grad(
+                loss_for, has_aux=True
+            )(state.params, bn, v, l, jax.random.fold_in(step_rng, i))
+            gsum = g_i if gsum is None else jax.tree.map(
+                jnp.add, gsum, g_i
+            )
+            lsum = lsum + loss_i
+        grads = jax.tree.map(lambda g: g / 2.0, gsum)
+        upd, opt = tx.update(grads, state.opt_state, state.params)
+        return (
+            optax.apply_updates(state.params, upd), bn, lsum / 2.0,
+        )
+
+    ref_params, ref_bn, ref_loss = manual(state0, views, labels)
+    np.testing.assert_allclose(
+        float(m2["loss"]), float(ref_loss), rtol=1e-6
+    )
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref_params)[0],
+        jax.tree_util.tree_flatten_with_path(s2.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=str(p),
+        )
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref_bn)[0],
+        jax.tree_util.tree_flatten_with_path(s2.batch_stats)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=str(p),
+        )
