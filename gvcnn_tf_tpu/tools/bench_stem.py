@@ -41,7 +41,11 @@ def main(argv=None):
                         "stem_pallas")
     args = p.parse_args(argv)
 
-    from gvcnn_tf_tpu.ops.pallas_stem import stem_conv, stem_conv_reference
+    from gvcnn_tf_tpu.ops.pallas_stem import (
+        _stem_fwd,
+        stem_conv,
+        stem_conv_reference,
+    )
     from gvcnn_tf_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
@@ -52,7 +56,10 @@ def main(argv=None):
     k = jnp.asarray(r.randn(7, 7, 3, 64) * 0.05, jnp.float32)
 
     ref_fn = jax.jit(stem_conv_reference)
-    pal_fn = jax.jit(stem_conv)
+    if jax.default_backend() == "tpu":
+        pal_fn = jax.jit(stem_conv)
+    else:  # interpret-mode fallback so the tool runs anywhere
+        pal_fn = lambda a, b: _stem_fwd(a, b, interpret=True)
 
     t_ref = _timeit(ref_fn, x, k, iters=args.iters)
     t_pal = _timeit(pal_fn, x, k, iters=args.iters)

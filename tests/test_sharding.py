@@ -116,3 +116,44 @@ def test_multihost_helpers_single_process():
     assert gb["views"].shape == (8, 2, 4)          # 1 process = global
     assert gb["views"].sharding.spec == P("data")
     np.testing.assert_array_equal(np.asarray(gb["label"]), local["label"])
+
+
+def test_dp_train_step_with_gradient_accumulation():
+    """accumulate_steps=2 under 8-device DP: the (k, B/k) reshape of the
+    data-sharded batch compiles and executes (B/k divisible per device),
+    producing finite loss and updated params."""
+    base = get_config("mn10_8view")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, height=32, width=32, batch_size=16, num_views=2,
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        train=dataclasses.replace(base.train, accumulate_steps=2),
+    )
+    model, tx, state0 = create_train_state(cfg, jax.random.key(0))
+    rng = np.random.RandomState(0)
+    d = cfg.data
+    batch = {
+        "views": rng.rand(16, 2, 32, 32, 3).astype(np.float32),
+        "label": rng.randint(0, d.num_classes, 16).astype(np.int32),
+    }
+    mesh = create_mesh(8)
+    repl, dsh = replicated_sharding(mesh), data_sharding(mesh)
+    step8 = jax.jit(
+        make_train_step(model, tx, cfg),
+        in_shardings=(repl, dsh, repl),
+        out_shardings=(repl, repl),
+    )
+    gbatch = {
+        "views": jax.device_put(batch["views"], dsh),
+        "label": jax.device_put(batch["label"], dsh),
+    }
+    s8, m8 = step8(
+        jax.device_put(state0, repl), gbatch,
+        jax.device_put(jax.random.key(1), repl),
+    )
+    assert np.isfinite(float(m8["loss"]))
+    before = jax.tree.leaves(state0.params)[0]
+    after = jax.tree.leaves(s8.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
