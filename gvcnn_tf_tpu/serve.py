@@ -73,18 +73,37 @@ class InferenceEngine:
             from gvcnn_tf_tpu.utils import fold_batch_norm
 
             variables = fold_batch_norm(variables)
-        self._variables = variables
         self._model = model
         self._lock = threading.Lock()
 
-        @jax.jit
         def forward(variables, x):
             logits, ep = model.apply(variables, x, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
             scores = ep.get("view_discrimination_scores")
             return jnp.argmax(probs, -1), jnp.max(probs, -1), scores
 
-        self._forward = forward
+        # Multi-device hosts: shard the serve batch over the data mesh
+        # (weights replicated) so batched inference scales across chips.
+        n_dev = jax.device_count()
+        self.sharded = n_dev > 1 and serve_batch_size % n_dev == 0
+        if self.sharded:
+            from gvcnn_tf_tpu.parallel.mesh import (
+                create_mesh,
+                data_sharding,
+                replicated_sharding,
+            )
+
+            mesh = create_mesh(n_dev)
+            repl = replicated_sharding(mesh)
+            variables = jax.device_put(variables, repl)
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(repl, data_sharding(mesh)),
+                out_shardings=repl,
+            )
+        else:
+            self._forward = jax.jit(forward)
+        self._variables = variables
         # Warm the compile so the first request is fast.
         d = config.data
         self._input_shape = (serve_batch_size, d.num_views, d.height,

@@ -84,3 +84,30 @@ def test_predict_bad_payloads(server):
     np.savez(buf, views=np.zeros((1, 2, 16, 16, 3), np.float32))  # wrong HW
     status, err = _post(base + "/predict", buf.getvalue())
     assert status == 400 and "expected" in err["error"]
+
+
+def test_engine_shards_batch_over_devices():
+    """With 8 visible devices and serve_batch_size divisible by them, the
+    engine shards the batch over the data mesh (weights replicated)."""
+    import jax
+
+    from gvcnn_tf_tpu.serve import InferenceEngine
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, height=32, width=32, num_views=2, batch_size=2,
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+    )
+    eng = InferenceEngine(cfg, checkpoint_dir=None, serve_batch_size=8)
+    assert eng.sharded
+    views = np.random.RandomState(0).rand(3, 2, 32, 32, 3).astype(
+        np.float32
+    )
+    out = eng.predict(views)
+    assert len(out) == 3
+    assert all(0 <= r["class_index"] < 10 for r in out)
