@@ -45,27 +45,57 @@ def load_views(
     return np.stack(views)
 
 
+def render_mesh_views(
+    mesh_files: Sequence[str], num_views: int, height: int, width: int
+) -> np.ndarray:
+    """Render V orbit views per OFF/OBJ mesh -> (N, V, H, W, 3) in [-1, 1].
+
+    Uses the same camera orbit as the dataset renderer
+    (data/procedural.py::render_views), so checkpoints trained on
+    render_meshes output see their native view distribution.
+    """
+    from gvcnn_tf_tpu.data.procedural import render_views
+    from gvcnn_tf_tpu.tools.render_meshes import load_mesh
+
+    assert height == width, "mesh rendering is square"
+    out = np.empty((len(mesh_files), num_views, height, width, 3),
+                   np.float32)
+    for i, path in enumerate(mesh_files):
+        verts, faces = load_mesh(path)
+        imgs = render_views(verts, faces, num_views, height)
+        out[i] = np.repeat(imgs[..., None], 3, axis=-1) * 2.0 - 1.0
+    return out
+
+
 def predict(
     config: GVCNNConfig,
     checkpoint_dir: Optional[str] = None,
     view_dir: Optional[str] = None,
     *,
     views: Optional[np.ndarray] = None,
+    mesh_files: Optional[Sequence[str]] = None,
     state=None,
     class_names: Optional[Sequence[str]] = None,
     fold_bn: bool = False,
 ):
     """Predict classes for shapes.
 
-    Either `view_dir` (a directory of V images, or a directory of such
-    directories) or a ready (N, V, H, W, 3) `views` array.  Returns a list
-    of {'shape': str, 'class_index': int, 'probability': float, ...}.
+    One of: `view_dir` (a directory of V images, or a directory of such
+    directories), `mesh_files` (raw OFF/OBJ meshes rendered in-process), or
+    a ready (N, V, H, W, 3) `views` array.  Returns a list of
+    {'shape': str, 'class_index': int, 'probability': float, ...}.
     """
     d = config.data
     names: List[str] = []
-    if views is None:
+    if views is None and mesh_files:
+        views = render_mesh_views(
+            mesh_files, d.num_views, d.height, d.width
+        )
+        names = [os.path.splitext(os.path.basename(m))[0]
+                 for m in mesh_files]
+    elif views is None:
         if view_dir is None:
-            raise ValueError("need view_dir or views")
+            raise ValueError("need view_dir, mesh_files, or views")
         subdirs = sorted(
             os.path.join(view_dir, s)
             for s in os.listdir(view_dir)
@@ -126,8 +156,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="gvcnn_tf_tpu predictor")
     add_flags(p)
     p.add_argument("--checkpoint_dir", default=None)
-    p.add_argument("--view_dir", required=True,
+    p.add_argument("--view_dir", default=None,
                    help="dir of V view images, or dir of per-shape dirs")
+    p.add_argument("--mesh_file", action="append", default=None,
+                   help="raw OFF/OBJ mesh(es) to render and classify "
+                        "in-process (repeatable)")
     p.add_argument("--output_csv", default=None)
     p.add_argument("--labels_file", default=None,
                    help="labels.txt from the TFRecord builder")
@@ -138,10 +171,13 @@ def main(argv=None):
     class_names = None
     if args.labels_file:
         class_names = open(args.labels_file).read().splitlines()
+    if not args.view_dir and not args.mesh_file:
+        p.error("need --view_dir or --mesh_file")
     results = predict(
         config,
         checkpoint_dir=args.checkpoint_dir,
         view_dir=args.view_dir,
+        mesh_files=args.mesh_file,
         class_names=class_names,
         fold_bn=args.fold_bn,
     )

@@ -98,3 +98,32 @@ def test_discover_meshes_flat_layout(tmp_path):
     assert len(found) == 1 and found[0][0] == "cls_a"
     verts, faces = load_mesh(found[0][2])
     assert len(verts) == 8 and len(faces) == 12
+
+
+def test_predict_from_mesh_file(tmp_path):
+    """predict --mesh_file: raw OFF -> in-process render -> classification."""
+    import dataclasses
+
+    import jax
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.models.gvcnn import init_model
+    from gvcnn_tf_tpu.predict import predict
+    from gvcnn_tf_tpu.train import create_train_state
+
+    p = str(tmp_path / "cube.off")
+    _write_off(p)
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        compute_dtype="float32",
+        data=dataclasses.replace(
+            cfg.data, height=32, width=32, num_views=2,
+        ),
+    )
+    _, _, state = create_train_state(cfg, jax.random.key(0),
+                                     input_shape=(1, 2, 32, 32, 3))
+    out = predict(cfg, mesh_files=[p], state=state)
+    assert len(out) == 1
+    assert out[0]["shape"] == "cube"
+    assert 0 <= out[0]["class_index"] < 10
+    assert len(out[0]["view_scores"]) == 2
