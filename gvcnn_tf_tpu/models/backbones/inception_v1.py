@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gvcnn_tf_tpu.ops.pool import max_pool
+
 # Truncated-normal stddev from slim's inception_v1 trunc_normal(0.09) [MED,
 # SURVEY.md Appendix A]; biases are absent (BN provides the shift).
 _TRUNC_STDDEV = 0.09
@@ -270,7 +272,7 @@ class InceptionBlock(nn.Module):
             br1 = ConvBNReLU(self.b1, (3, 3), dtype=d, bn_momentum=m, name="Branch_1_Conv2d_0b_3x3")(br1, train)
             br2 = ConvBNReLU(self.b2_reduce, (1, 1), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0a_1x1")(x, train)
             br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, bn_momentum=m, name="Branch_2_Conv2d_0b_3x3")(br2, train)
-            br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+            br3 = max_pool(x, (3, 3), (1, 1), padding="SAME")
             br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m, name="Branch_3_Conv2d_0b_1x1")(br3, train)
             return jnp.concatenate([br0, br1, br2, br3], axis=-1)
 
@@ -307,7 +309,7 @@ class InceptionBlock(nn.Module):
             br2 = ConvBNReLU(self.b2, (3, 3), dtype=d, bn_momentum=m,
                              name="Branch_2_Conv2d_0b_3x3")(a2, train)
 
-        br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        br3 = max_pool(x, (3, 3), (1, 1), padding="SAME")
         br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m,
                          name="Branch_3_Conv2d_0b_1x1")(br3, train)
         return jnp.concatenate([br0, br1, br2, br3], axis=-1)
@@ -401,7 +403,7 @@ class InceptionV1Base(nn.Module):
                                    bn_momentum=self.bn_momentum, name=name)(x, train)
             elif kind == "pool":
                 _, kernel, stride = spec
-                x = nn.max_pool(x, kernel, strides=stride, padding="SAME")
+                x = max_pool(x, kernel, stride, padding="SAME")
             else:
                 _, b0, b1r, b1, b2r, b2, b3 = spec
                 x = InceptionBlock(b0, b1r, b1, b2r, b2, b3,

@@ -22,6 +22,8 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from gvcnn_tf_tpu.ops.pool import max_pool
+
 from gvcnn_tf_tpu.models.backbones.inception_v1 import ConvBNReLU, _conv_init
 
 
@@ -95,7 +97,7 @@ class InceptionV2Block(nn.Module):
         if self.pool == "avg":
             br3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         else:
-            br3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+            br3 = max_pool(x, (3, 3), (1, 1), padding="SAME")
         br3 = ConvBNReLU(self.b3, (1, 1), dtype=d, bn_momentum=m,
                          name="Branch_3_Conv2d_0b_1x1")(br3, train)
         return jnp.concatenate([br0, br1, br2, br3], axis=-1)
@@ -124,7 +126,7 @@ class InceptionV2ReduceBlock(nn.Module):
                          name="Branch_1_Conv2d_0b_3x3")(br1, train)
         br1 = ConvBNReLU(self.b1, (3, 3), (2, 2), dtype=d, bn_momentum=m,
                          name="Branch_1_Conv2d_1a_3x3")(br1, train)
-        br2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        br2 = max_pool(x, (3, 3), (2, 2), padding="SAME")
         return jnp.concatenate([br0, br1, br2], axis=-1)
 
 
@@ -194,7 +196,7 @@ class InceptionV2Base(nn.Module):
                                bn_momentum=self.bn_momentum, name=name)(x, train)
             elif kind == "pool":
                 _, kernel, stride = spec
-                x = nn.max_pool(x, kernel, strides=stride, padding="SAME")
+                x = max_pool(x, kernel, stride, padding="SAME")
             elif kind == "reduce":
                 _, b0r, b0, b1r, b1 = spec
                 x = InceptionV2ReduceBlock(

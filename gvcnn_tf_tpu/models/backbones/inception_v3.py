@@ -16,6 +16,8 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from gvcnn_tf_tpu.ops.pool import max_pool
+
 from gvcnn_tf_tpu.models.backbones.inception_v4 import _Conv
 
 
@@ -134,7 +136,7 @@ class InceptionV3Base(nn.Module):
         net = _Conv(64, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Conv2d_2b_3x3")(net, train)
         if done("Conv2d_2b_3x3", net):
             return net, endpoints
-        net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        net = max_pool(net, (3, 3), (2, 2), padding="VALID")
         if done("MaxPool_3a_3x3", net):
             return net, endpoints
         net = _Conv(80, (1, 1), padding="VALID", dtype=d, bn_momentum=self.bn_momentum,
@@ -145,7 +147,7 @@ class InceptionV3Base(nn.Module):
                     name="Conv2d_4a_3x3")(net, train)
         if done("Conv2d_4a_3x3", net):
             return net, endpoints
-        net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        net = max_pool(net, (3, 3), (2, 2), padding="VALID")
         if done("MaxPool_5a_3x3", net):
             return net, endpoints
 
@@ -165,7 +167,7 @@ class InceptionV3Base(nn.Module):
                    name="Mixed_6a_Branch_1_Conv2d_0b_3x3")(b1, train)
         b1 = _Conv(96, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_6a_Branch_1_Conv2d_1a_1x1")(b1, train)
-        b2 = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        b2 = max_pool(net, (3, 3), (2, 2), padding="VALID")
         net = jnp.concatenate([b0, b1, b2], -1)               # 768
         if done("Mixed_6a", net):
             return net, endpoints
@@ -189,7 +191,7 @@ class InceptionV3Base(nn.Module):
                    name="Mixed_7a_Branch_1_Conv2d_0c_7x1")(b1, train)
         b1 = _Conv(192, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Mixed_7a_Branch_1_Conv2d_1a_3x3")(b1, train)
-        b2 = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        b2 = max_pool(net, (3, 3), (2, 2), padding="VALID")
         net = jnp.concatenate([b0, b1, b2], -1)               # 1280
         if done("Mixed_7a", net):
             return net, endpoints

@@ -16,6 +16,8 @@ from typing import Any, Dict, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from gvcnn_tf_tpu.ops.pool import max_pool
+
 
 
 
@@ -72,7 +74,7 @@ class ReductionA(nn.Module):
         b1 = _Conv(224, (3, 3), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0b_3x3")(b1, train)
         b1 = _Conv(256, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Branch_1_Conv2d_1a_3x3")(b1, train)
-        b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        b2 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b0, b1, b2], -1)              # 1024
 
 
@@ -112,7 +114,7 @@ class ReductionB(nn.Module):
         b1 = _Conv(320, (7, 1), dtype=d, bn_momentum=self.bn_momentum, name="Branch_1_Conv2d_0c_7x1")(b1, train)
         b1 = _Conv(320, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                    name="Branch_1_Conv2d_1a_3x3")(b1, train)
-        b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        b2 = max_pool(x, (3, 3), (2, 2), padding="VALID")
         return jnp.concatenate([b0, b1, b2], -1)              # 1536
 
 
@@ -186,7 +188,7 @@ class InceptionV4Base(nn.Module):
             return net, endpoints
 
         # Mixed_3a: maxpool/2 || conv 96/2 VALID
-        p = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        p = max_pool(net, (3, 3), (2, 2), padding="VALID")
         c = _Conv(96, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                   name="Mixed_3a_Branch_1_Conv2d_0a_3x3")(net, train)
         net = jnp.concatenate([p, c], -1)                     # 160
@@ -213,7 +215,7 @@ class InceptionV4Base(nn.Module):
         # Mixed_5a: conv 192/2 VALID || maxpool/2
         c = _Conv(192, (3, 3), (2, 2), "VALID", dtype=d, bn_momentum=self.bn_momentum,
                   name="Mixed_5a_Branch_0_Conv2d_1a_3x3")(net, train)
-        p = nn.max_pool(net, (3, 3), strides=(2, 2), padding="VALID")
+        p = max_pool(net, (3, 3), (2, 2), padding="VALID")
         net = jnp.concatenate([c, p], -1)                     # 384
         if done("Mixed_5a", net):
             return net, endpoints

@@ -17,6 +17,8 @@ from typing import Any, Dict, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from gvcnn_tf_tpu.ops.pool import max_pool
+
 
 class _ConvBN(nn.Module):
     features: int
@@ -86,7 +88,7 @@ class ResNet50Base(nn.Module):
         endpoints: Dict[str, jnp.ndarray] = {}
 
         net = _ConvBN(64, (7, 7), (2, 2), dtype=d, bn_momentum=self.bn_momentum, name="conv1")(x, train)
-        net = nn.max_pool(net, (3, 3), strides=(2, 2), padding="SAME")
+        net = max_pool(net, (3, 3), (2, 2), padding="SAME")
         endpoints["conv1"] = net
         if self.final_endpoint == "conv1":
             return net, endpoints

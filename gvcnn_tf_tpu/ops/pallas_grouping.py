@@ -2,8 +2,13 @@
 
 One kernel fuses score-bucketing -> membership mask -> masked segment-max
 (view pooling) -> weight computation -> normalized weighted fusion, so the
-head reads `descs` from HBM exactly once and never materializes the
+FORWARD pass reads `descs` from HBM exactly once and never materializes the
 (B, M, V, C) masked broadcast the jnp oracle creates (ops/grouping.py).
+The fusion claim is forward-only: the custom VJP below replays the jnp
+oracle's backward, which DOES materialize that broadcast in the backward
+pass (see docs/DESIGN.md).  Measured on v5e the whole head is <1 ms of an
+~80 ms step either way, which is why the production default remains the
+XLA-fused oracle and this kernel stays opt-in (docs/PERF_VARIANTS.md).
 
 Per-shape work is tiny (V <= 16 views, M <= 16 groups, C = 1024 channels),
 so the grid is one program per shape: block (V, C) descriptors in VMEM,

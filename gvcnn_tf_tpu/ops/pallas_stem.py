@@ -92,9 +92,14 @@ def _pack_weights(w: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _stem_fwd(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
     """x (N, H, W, 3) any float dtype, w (7, 7, 3, 64) ->
-    (N, H/2, W/2, 64) bf16. TF-'SAME' padding for even H/W."""
+    (N, H/2, W/2, 64) bf16. TF-'SAME' padding for even H/W.
+
+    H must be divisible by 4: the kernel emits output rows in pairs
+    (`range(h_out // 2)` above), so h % 4 == 2 would silently leave the
+    last output row as uninitialized VMEM garbage if it passed the gate.
+    """
     n, h, width, c = x.shape
-    assert c == 3 and h % 2 == 0 and width % 2 == 0, (h, width, c)
+    assert c == 3 and h % 4 == 0 and width % 2 == 0, (h, width, c)
     h_out, w_out = h // 2, width // 2
     xb = x.astype(jnp.bfloat16)
     # TF-SAME pad (2,3) each side + 1 dead trailing col so flat%6 == 0.

@@ -63,7 +63,12 @@ def render_mesh_views(
     for i, path in enumerate(mesh_files):
         verts, faces = load_mesh(path)
         imgs = render_views(verts, faces, num_views, height)
-        out[i] = np.repeat(imgs[..., None], 3, axis=-1) * 2.0 - 1.0
+        # Round-trip through uint8 exactly like the dataset renderer
+        # (render_meshes.py / procedural.py quantize to PNG bytes before
+        # the pipeline rescales to [-1, 1]); feeding continuous floats
+        # here would give a <=1/255 train/serve input skew (ADVICE r2).
+        q = (imgs * 255).astype(np.uint8).astype(np.float32) / 255.0
+        out[i] = np.repeat(q[..., None], 3, axis=-1) * 2.0 - 1.0
     return out
 
 

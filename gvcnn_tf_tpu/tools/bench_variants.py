@@ -70,18 +70,30 @@ def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
     return samples[len(samples) // 2], flops
 
 
-# (name, config overrides) — all exact-math layout knobs.
+# (name, config overrides) — all exact-math layout knobs.  Every variant
+# pins EVERY knob explicitly (ADVICE r2): the production config default is
+# merge_inception_branches="1x1", so an empty-override "baseline" would
+# already run merged and each row's speedup would conflate the merge knob
+# into whatever its name claims to measure.
+_PINNED = {"stem_space_to_depth": False, "merge_inception_branches": "none",
+           "remat_backbone": False, "use_pallas_grouping": False}
+
+
+def _v(**overrides):
+    return {**_PINNED, **overrides}
+
+
 VARIANTS = [
-    ("baseline", {}),
-    ("s2d_stem", {"stem_space_to_depth": True}),
-    ("merge_1x1", {"merge_inception_branches": "1x1"}),
-    ("merge_full", {"merge_inception_branches": "full"}),
-    ("s2d+merge_1x1", {"stem_space_to_depth": True,
-                       "merge_inception_branches": "1x1"}),
-    ("s2d+merge_full", {"stem_space_to_depth": True,
-                        "merge_inception_branches": "full"}),
-    ("remat", {"remat_backbone": True}),
-    ("pallas_grouping", {"use_pallas_grouping": True}),
+    ("baseline", _v()),
+    ("s2d_stem", _v(stem_space_to_depth=True)),
+    ("merge_1x1", _v(merge_inception_branches="1x1")),
+    ("merge_full", _v(merge_inception_branches="full")),
+    ("s2d+merge_1x1", _v(stem_space_to_depth=True,
+                         merge_inception_branches="1x1")),
+    ("s2d+merge_full", _v(stem_space_to_depth=True,
+                          merge_inception_branches="full")),
+    ("remat", _v(remat_backbone=True)),
+    ("pallas_grouping", _v(use_pallas_grouping=True)),
 ]
 
 

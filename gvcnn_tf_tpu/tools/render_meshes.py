@@ -102,14 +102,33 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def discover_meshes(mesh_dir: str, split: str) -> List[Tuple[str, str, str]]:
-    """-> [(class_name, shape_id, mesh_path)] for the requested split."""
+    """-> [(class_name, shape_id, mesh_path)] for the requested split.
+
+    Two layouts: ModelNet-style `<class>/<split>/<shape>.off`, or flat
+    `<class>/<shape>.off`.  The flat fallback applies only when NO class
+    has split subdirectories (ADVICE r2): a per-class silent fallback on a
+    partially ModelNet-shaped tree would mix train and test meshes into
+    one split.  A mixed tree (some classes with split dirs, some without)
+    raises instead of guessing.
+    """
+    classes = [
+        c for c in sorted(os.listdir(mesh_dir))
+        if os.path.isdir(os.path.join(mesh_dir, c))
+    ]
+    has_split = {
+        c: os.path.isdir(os.path.join(mesh_dir, c, split)) for c in classes
+    }
+    if any(has_split.values()) and not all(has_split.values()):
+        flat = sorted(c for c in classes if not has_split[c])
+        raise ValueError(
+            f"mixed mesh tree: classes {flat} lack a {split!r} subdir while "
+            "others have one; refusing to silently mix splits"
+        )
+    use_split_dirs = all(has_split.values()) and bool(classes)
     out = []
-    for cls in sorted(os.listdir(mesh_dir)):
+    for cls in classes:
         cdir = os.path.join(mesh_dir, cls)
-        if not os.path.isdir(cdir):
-            continue
-        sdir = os.path.join(cdir, split)
-        scan = sdir if os.path.isdir(sdir) else cdir
+        scan = os.path.join(cdir, split) if use_split_dirs else cdir
         for fn in sorted(os.listdir(scan)):
             if os.path.splitext(fn)[1].lower() in (".off", ".obj"):
                 out.append(

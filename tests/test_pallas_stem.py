@@ -98,3 +98,13 @@ def test_module_param_tree_matches_plain_stem():
     assert jax.tree.map(lambda a: tuple(a.shape), variables) == jax.tree.map(
         lambda a: tuple(a.shape), v2
     )
+
+
+def test_h_mod_4_eq_2_rejected():
+    """The kernel emits output rows in PAIRS; h % 4 == 2 (e.g. 30) would
+    pass an h%2 gate yet leave the final output row as uninitialized VMEM
+    garbage (ADVICE r2).  The shape gate must reject it loudly."""
+    x = _rand((1, 30, 16, 3), 7)
+    k = _rand((7, 7, 3, 64), 8)
+    with pytest.raises(AssertionError):
+        _stem_fwd(x, k, interpret=True)
