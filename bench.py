@@ -124,6 +124,36 @@ def main():
     dt_fwd = (time.perf_counter() - t0) / iters
     eval_views_per_sec = d.batch_size * d.num_views / dt_fwd
 
+    # Serving latency (VERDICT r2 Next #6): per-request p50/p99 at B=1 (the
+    # reference predict.py's actual usage shape) and at the serve.py padded
+    # batch (8), BN-folded (serving default) vs unfolded.  Each call is
+    # synced individually — that IS the serving latency through this stack.
+    def _latency(fn, v, x, iters):
+        out = fn(v, x)
+        float(jax.device_get(out[0, 0]))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(v, x)
+            float(jax.device_get(out[0, 0]))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return (ts[len(ts) // 2] * 1e3,
+                ts[min(int(0.99 * len(ts)), len(ts) - 1)] * 1e3)
+
+    serving_latency = {}
+    try:
+        unfolded = {"params": state.params, "batch_stats": state.batch_stats}
+        lat_iters = 50 if on_tpu else 3
+        for nb in (1, 8):
+            xs = views[:1].repeat(nb, axis=0) if nb > 1 else views[:1]
+            for tag, v in (("folded", variables), ("unfolded", unfolded)):
+                p50, p99 = _latency(fwd, v, xs, lat_iters)
+                serving_latency[f"b{nb}_{tag}_p50_ms"] = round(p50, 2)
+                serving_latency[f"b{nb}_{tag}_p99_ms"] = round(p99, 2)
+    except Exception:
+        pass
+
     # Backbone-only train FLOPs (the conv tower is ~95% of model FLOPs,
     # SURVEY.md section 3.4): attainment computed against these is the
     # "conv-only roofline" view the north star asks for — whole-step MFU
@@ -187,6 +217,7 @@ def main():
             "device": jax.devices()[0].device_kind,
             "batch_shapes": d.batch_size,
             "loss": float(mets["loss"]),
+            "serving_latency": serving_latency,
         },
     }))
 

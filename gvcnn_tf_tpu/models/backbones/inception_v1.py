@@ -357,6 +357,13 @@ class InceptionV1Base(nn.Module):
     """
 
     final_endpoint: str = "Mixed_5c"
+    # When set, the module is a SEGMENT: the input is taken to be the
+    # intermediate activation AT `start_endpoint` and only the layers
+    # strictly after it (up to final_endpoint) run.  Used by the per-layer
+    # attribution harness (tools/bench_layers.py marginal method) to time
+    # one layer's in-context cost; layer names match the full tower's, so
+    # segment params are a subtree of the full param tree.
+    start_endpoint: str = ""
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9997
     # Run the 7x7/2 stem as a 4x4/1 conv on space-to-depth input (exact
@@ -384,9 +391,16 @@ class InceptionV1Base(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.final_endpoint not in ENDPOINTS:
             raise ValueError(f"unknown endpoint {self.final_endpoint!r}")
+        if self.start_endpoint and self.start_endpoint not in ENDPOINTS:
+            raise ValueError(f"unknown endpoint {self.start_endpoint!r}")
         x = x.astype(self.dtype)
         endpoints: Dict[str, jnp.ndarray] = {}
+        skipping = bool(self.start_endpoint)
         for name, spec in _V1_PLAN:
+            if skipping:
+                if name == self.start_endpoint:
+                    skipping = False
+                continue
             kind = spec[0]
             if kind == "conv":
                 _, feats, kernel, stride = spec

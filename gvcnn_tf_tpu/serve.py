@@ -5,6 +5,8 @@ jitted forward resident on the device and answers classification requests:
 
   GET  /healthz              -> 200 "ok"
   GET  /info                 -> JSON model/config metadata
+  GET  /stats                -> JSON serving latency stats (p50/p99 ms per
+                                request, request count)
   POST /predict              -> body: .npz with array 'views' of shape
                                 (N, V, H, W, 3) float32 in [-1, 1]
                                 (or (V, H, W, 3) for a single shape);
@@ -25,9 +27,11 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -75,6 +79,9 @@ class InferenceEngine:
             variables = fold_batch_norm(variables)
         self._model = model
         self._lock = threading.Lock()
+        # Rolling per-request device latency (seconds, shapes) for /stats
+        # and the per-request log (VERDICT r2 Next #6).
+        self._latencies = collections.deque(maxlen=1024)
 
         def forward(variables, x):
             logits, ep = model.apply(variables, x, train=False)
@@ -121,6 +128,7 @@ class InferenceEngine:
                 f"{views.shape}"
             )
         results = []
+        t_start = time.perf_counter()
         with self._lock:
             for start in range(0, len(views), self.batch):
                 chunk = views[start : start + self.batch]
@@ -142,7 +150,31 @@ class InferenceEngine:
                     if scores is not None:
                         rec["view_scores"] = scores[i].tolist()
                     results.append(rec)
+        dt = time.perf_counter() - t_start
+        self._latencies.append((dt, len(views)))
+        metrics_lib.log(
+            f"/predict shapes={len(views)} latency_ms={dt * 1e3:.2f}"
+        )
         return results
+
+    def latency_stats(self) -> dict:
+        """p50/p99 request latency over the last <=1024 requests."""
+        lats = sorted(d for d, _ in self._latencies)
+        if not lats:
+            return {"count": 0}
+        shapes = sum(n for _, n in self._latencies)
+
+        def pct(p):
+            return lats[min(int(p / 100.0 * len(lats)), len(lats) - 1)]
+
+        return {
+            "count": len(lats),
+            "shapes": shapes,
+            "p50_ms": round(pct(50) * 1e3, 2),
+            "p99_ms": round(pct(99) * 1e3, 2),
+            "mean_ms": round(sum(lats) / len(lats) * 1e3, 2),
+            "serve_batch_size": self.batch,
+        }
 
 
 def make_handler(engine: InferenceEngine):
@@ -171,6 +203,8 @@ def make_handler(engine: InferenceEngine):
                     "input": [d.num_views, d.height, d.width, 3],
                     "serve_batch_size": engine.batch,
                 }))
+            elif self.path == "/stats":
+                self._send(200, json.dumps(engine.latency_stats()))
             else:
                 self._send(404, json.dumps({"error": "not found"}))
 

@@ -28,7 +28,7 @@ from gvcnn_tf_tpu import metrics as metrics_lib
 from gvcnn_tf_tpu.configs import get_config
 
 
-def _config(model: str, a) -> "GVCNNConfig":
+def _config(model: str, a, seed: int = 0) -> "GVCNNConfig":
     cfg = get_config("mn40_12view")
     return cfg.replace(
         model=model,
@@ -50,16 +50,19 @@ def _config(model: str, a) -> "GVCNNConfig":
             num_steps=a.steps,
             log_every=max(a.steps // 10, 1),
             checkpoint_every=0,
-            train_logdir=f"/tmp/gvcnn_proc/{model}",
+            train_logdir=f"/tmp/gvcnn_proc/{model}_s{seed}",
             optimizer="adam",
             learning_rate=a.learning_rate,
             lr_decay_steps=max(a.steps // 3, 1),
-            seed=0,
+            # Seeds both the param init and the procedural data draw
+            # (pipeline seed is derived from train.seed), so a multi-seed
+            # sweep varies model init AND train-set sampling together.
+            seed=seed,
         ),
     )
 
 
-def run_one(model: str, a) -> dict:
+def run_one(model: str, a, seed: int = 0) -> dict:
     from gvcnn_tf_tpu.eval import evaluate
     from gvcnn_tf_tpu.tools.retrieval import (
         extract_descriptors,
@@ -67,7 +70,7 @@ def run_one(model: str, a) -> dict:
     )
     from gvcnn_tf_tpu.train import train
 
-    cfg = _config(model, a)
+    cfg = _config(model, a, seed)
     t0 = time.perf_counter()
     state, mets = train(cfg)
     train_s = time.perf_counter() - t0
@@ -82,6 +85,7 @@ def run_one(model: str, a) -> dict:
     retr = retrieval_metrics(descs, labels)
     out = {
         "model": model,
+        "seed": seed,
         "top1": round(result["accuracy"], 4),
         "count": result["count"],
         "retrieval_mAP": round(retr["mAP"], 4),
@@ -109,6 +113,9 @@ def main(argv=None):
                         "(85 deg) — the regime where grouping must beat "
                         "uniform max-pooling")
     p.add_argument("--models", default="gvcnn,mvcnn")
+    p.add_argument("--seeds", default="0",
+                   help="comma-separated train/data seeds; >1 seed "
+                        "reports mean+-std per model (VERDICT r2 Next #5)")
     p.add_argument("--out", default=None, help="append a markdown table")
     args = p.parse_args(argv)
     if args.width is None:
@@ -117,7 +124,24 @@ def main(argv=None):
 
     setup_compilation_cache()
 
-    results = [run_one(m.strip(), args) for m in args.models.split(",") if m]
+    seeds = [int(x) for x in args.seeds.split(",") if x != ""]
+    models = [m.strip() for m in args.models.split(",") if m]
+    results = [run_one(m, args, s) for m in models for s in seeds]
+
+    def _agg(model, key):
+        vals = [r[key] for r in results if r["model"] == model]
+        mean = sum(vals) / len(vals)
+        var = sum((v - mean) ** 2 for v in vals) / max(len(vals) - 1, 1)
+        return mean, var ** 0.5
+
+    if len(seeds) > 1:
+        for m in models:
+            line = {"model": m, "seeds": seeds}
+            for key in ("top1", "retrieval_mAP", "precision@5"):
+                mean, std = _agg(m, key)
+                line[key] = f"{mean:.4f}+-{std:.4f}"
+            print(json.dumps(line), flush=True)
+
     if args.out:
         lines = [
             "",
@@ -125,17 +149,28 @@ def main(argv=None):
             f"({args.num_views} views, "
             f"{args.height}x{args.width}, {args.train_shapes} train / "
             f"{args.eval_shapes} eval shapes, {args.steps} steps, "
-            f"{jax.devices()[0].device_kind})",
+            f"seeds {seeds}, {jax.devices()[0].device_kind})",
             "",
-            "| model | top-1 | retrieval mAP | p@5 | train acc | train s |",
-            "|---|---|---|---|---|---|",
+            "| model | seed | top-1 | retrieval mAP | p@5 | train acc | train s |",
+            "|---|---|---|---|---|---|---|",
         ]
         for r in results:
             lines.append(
-                f"| {r['model']} | {r['top1']} | {r['retrieval_mAP']} | "
+                f"| {r['model']} | {r['seed']} | {r['top1']} | "
+                f"{r['retrieval_mAP']} | "
                 f"{r['precision@5']} | {r['final_train_acc']} | "
                 f"{r['train_seconds']} |"
             )
+        if len(seeds) > 1:
+            lines += ["", "| model | top-1 (mean+-std) | mAP (mean+-std) | p@5 (mean+-std) |",
+                      "|---|---|---|---|"]
+            for m in models:
+                t, tm = _agg(m, "top1")
+                r_, rm = _agg(m, "retrieval_mAP")
+                p5, pm = _agg(m, "precision@5")
+                lines.append(
+                    f"| {m} | {t:.3f} +- {tm:.3f} | {r_:.3f} +- {rm:.3f} | "
+                    f"{p5:.3f} +- {pm:.3f} |")
         with open(args.out, "a") as f:
             f.write("\n".join(lines) + "\n")
         metrics_lib.log(f"appended results to {args.out}")
