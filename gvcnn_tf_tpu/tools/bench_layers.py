@@ -194,6 +194,11 @@ def bench_marginal_pair(
     pool's backward (the select-and-scatter being attributed) is dead
     code.  The cost of materializing dz2 as a program output is part of
     the true backward (in-context the same cotangent feeds the prefix).
+    Exception: for the FIRST layer (prev_endpoint == "") dz2 is NOT
+    requested — in-context the model input needs no gradient, so the
+    first layer never computes a data-gradient conv, and requesting it
+    here would bill the stem for a conv it does not run (measured: it
+    more than doubled the stem row).
     """
     x = jnp.zeros((batch, height, width, 3), jnp.float32)
 
@@ -253,8 +258,9 @@ def bench_marginal_pair(
         return tower(pp_, x_, s1) + seg_apply(s2, z2_)
 
     if train:
+        b_argnums = (0, 1, 3, 4) if prev_endpoint else (0, 1, 3)
         fn_a = jax.jit(jax.grad(fa, argnums=(0, 1)))
-        fn_b = jax.jit(jax.grad(fb, argnums=(0, 1, 3, 4)))
+        fn_b = jax.jit(jax.grad(fb, argnums=b_argnums))
     else:
         fn_a = jax.jit(fa)
         fn_b = jax.jit(fb)
