@@ -101,30 +101,46 @@ def segment_hlo(
 
 
 def summarize(hlo: str) -> dict:
+    """Parse the scheduled-HLO entry computation (`%name = shape op(...)`
+    lines, with TPU backend_config `estimated_cycles` on each)."""
     ops = collections.Counter()
     relayout = []
     concats = []
+    ranked = []
+    total_cycles = 0
     for line in hlo.splitlines():
-        line = line.strip()
-        m = re.match(r"(?:ROOT )?[\w.\-]+ = (\S+?\[[^\]]*\][^ ]*) (\w+)\(",
-                     line)
+        m = re.match(
+            r"\s*(?:ROOT )?%([\w.\-]+) = (\S+?\[[^\]]*\]\S*) ([a-z\-]+)\(",
+            line)
         if not m:
             continue
-        shape, op = m.groups()
+        name, shape, op = m.groups()
         ops[op] += 1
-        if op in ("copy", "transpose", "bitcast-convert", "reshape"):
-            relayout.append({"op": op, "shape": shape,
+        c = re.search(r'"estimated_cycles":"(\d+)"', line)
+        cycles = int(c.group(1)) if c else 0
+        total_cycles += cycles
+        ranked.append({"op": op, "name": name, "shape": shape,
+                       "cycles": cycles})
+        if op in ("copy", "transpose", "bitcast-convert"):
+            relayout.append({"op": op, "shape": shape, "cycles": cycles,
                              "mbytes": round(_bytes_of(shape) / 1e6, 1)})
         if op == "concatenate":
             concats.append({"shape": shape,
                             "mbytes": round(_bytes_of(shape) / 1e6, 1)})
     relayout.sort(key=lambda r: -r["mbytes"])
+    ranked.sort(key=lambda r: -r["cycles"])
     copy_mb = sum(r["mbytes"] for r in relayout if r["op"] == "copy")
     return {
         "op_histogram": dict(ops.most_common()),
+        # Materialized (unfused) relayout + concat traffic — if these
+        # lists are empty/tiny, layout is NOT where the time goes.
         "relayout_top": relayout[:20],
         "copy_mbytes_total": round(copy_mb, 1),
         "concatenates": concats,
+        # XLA's own per-op cycle estimates, largest first.
+        "total_estimated_cycles": total_cycles,
+        "estimated_ms_at_940mhz": round(total_cycles / 0.94e9 * 1e3, 3),
+        "top_by_cycles": ranked[:15],
     }
 
 
