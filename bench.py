@@ -145,6 +145,14 @@ def main():
     try:
         unfolded = {"params": state.params, "batch_stats": state.batch_stats}
         lat_iters = 50 if on_tpu else 3
+        # Null-dispatch floor: on the tunneled axon platform each synced
+        # call pays a host<->device round trip (~1.5-35 ms depending on
+        # path) that a local TPU VM would not; report it so per-shape
+        # device latency can be read as p50 - floor.
+        null = jax.jit(lambda v, x: x * 1.0)
+        xs1 = jnp.zeros((1, 1), jnp.float32)
+        p50f, _ = _latency(null, xs1, xs1, lat_iters)
+        serving_latency["dispatch_floor_p50_ms"] = round(p50f, 2)
         for nb in (1, 8):
             xs = views[:1].repeat(nb, axis=0) if nb > 1 else views[:1]
             for tag, v in (("folded", variables), ("unfolded", unfolded)):
