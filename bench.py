@@ -59,8 +59,12 @@ def main():
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=batch))
     d = cfg.data
 
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    copts = tpu_compiler_options()
     model, tx, state = create_train_state(cfg, jax.random.key(0))
-    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
+                   compiler_options=copts)
 
     rng = np.random.RandomState(0)
     views = jnp.asarray(
@@ -114,7 +118,8 @@ def main():
     variables = fold_batch_norm(
         {"params": state.params, "batch_stats": state.batch_stats}
     )
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0],
+                  compiler_options=copts)
     out = fwd(variables, views)
     float(jax.device_get(out[0, 0]))
     t0 = time.perf_counter()

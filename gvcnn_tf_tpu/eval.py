@@ -74,8 +74,11 @@ def evaluate(
     # (ADVICE r1).  Padding rows are sliced off on host before counting.
     pad_to = -(-config.data.batch_size // n_dev) * n_dev
 
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
     @functools.partial(
-        jax.jit, in_shardings=(repl, dsh, dsh), out_shardings=(dsh, dsh)
+        jax.jit, in_shardings=(repl, dsh, dsh), out_shardings=(dsh, dsh),
+        compiler_options=tpu_compiler_options(),
     )
     def eval_step(variables, views, labels):
         logits, _ = model.apply(variables, views, train=False)

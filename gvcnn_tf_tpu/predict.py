@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import functools
 import os
 from typing import List, Optional, Sequence
 
@@ -132,7 +133,9 @@ def predict(
 
         variables = fold_batch_norm(variables)
 
-    @jax.jit
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def forward(variables, x):
         logits, ep = model.apply(variables, x, train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), -1)

@@ -42,6 +42,7 @@ import numpy as np
 from gvcnn_tf_tpu import metrics as metrics_lib
 from gvcnn_tf_tpu.configs import GVCNNConfig, add_flags, config_from_flags
 from gvcnn_tf_tpu.models.gvcnn import init_model
+from gvcnn_tf_tpu.utils import tpu_compiler_options
 
 
 class InferenceEngine:
@@ -107,9 +108,11 @@ class InferenceEngine:
                 forward,
                 in_shardings=(repl, data_sharding(mesh)),
                 out_shardings=repl,
+                compiler_options=tpu_compiler_options(),
             )
         else:
-            self._forward = jax.jit(forward)
+            self._forward = jax.jit(
+                forward, compiler_options=tpu_compiler_options())
         self._variables = variables
         # Warm the compile so the first request is fast.
         d = config.data

@@ -1,12 +1,15 @@
-"""Sweep XLA:TPU compiler flags over the flagship train step.
+"""Sweep XLA:TPU compiler options over the flagship train step.
 
 The round-3 marginal attribution (docs/PERF_LAYERS.md) leaves a ~26 ms
 whole-tower-vs-marginal-sum residual that no single layer owns — shared
 scheduling/buffer traffic.  Per-layer code transforms cannot reach it, but
-compiler-level knobs might.  This tool times the REAL jitted train step
-under each XLA_FLAGS setting in a fresh subprocess (flags are
-process-global and participate in the compile-cache key, so isolation is
-mandatory) and reports step time vs the default.
+compiler-level knobs might.
+
+Mechanism note: XLA_FLAGS cannot carry TPU flags here — under the remote
+axon PJRT plugin the CLIENT binary is CPU-only XLA and hard-aborts on
+unknown flags ("Unknown flag in XLA_FLAGS", measured).  Per-compile
+`compiler_options` go through PJRT to the server-side compiler instead,
+so each setting is just a recompile in-process.
 
 Usage (real chip; each setting pays a full compile, minutes apiece):
 
@@ -16,54 +19,41 @@ Usage (real chip; each setting pays a full compile, minutes apiece):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
-import os
-import subprocess
-import sys
+import time
 
-# (name, XLA_FLAGS fragment) — '' is the default-compiler control row.
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, compiler_options dict) — {} is the default-compiler control row.
 SETTINGS = [
-    ("default", ""),
+    ("default", {}),
     # Bigger scoped-VMEM budget lets the fusion pass keep larger conv
     # operands resident instead of spilling tiles to HBM.
-    ("vmem_32m", "--xla_tpu_scoped_vmem_limit_kib=32768"),
-    ("vmem_64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
-    # Latency-hiding scheduler: mostly for async collectives, but also
-    # reorders copies/compute on a single core.
-    ("lhs_off", "--xla_tpu_enable_latency_hiding_scheduler=false"),
+    ("vmem_24m", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
+    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    # Latency-hiding scheduler off: reorders copies/compute differently.
+    ("lhs_off", {"xla_tpu_enable_latency_hiding_scheduler": "false"}),
 ]
 
-_CHILD = r"""
-import json, sys
-from gvcnn_tf_tpu.configs import get_config
-from gvcnn_tf_tpu.tools.bench_variants import time_variant
 
-cfg = get_config("mn40_12view")
-dt, flops = time_variant(cfg, batch=int(sys.argv[1]), iters=int(sys.argv[2]))
-print(json.dumps({"step_ms": dt * 1e3, "flops": flops}))
-"""
-
-
-def run_setting(name: str, flags: str, batch: int, iters: int) -> dict:
-    env = dict(os.environ)
-    base = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (base + " " + flags).strip()
-    # Flag experiments must NOT poison or reuse the shared compile cache:
-    # flags are part of the key, but keep them hermetic anyway.
-    env["JAX_COMPILATION_CACHE_DIR"] = env.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(batch), str(iters)],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-    try:
-        r = json.loads(line)
-    except Exception:
-        return {"name": name, "flags": flags, "error":
-                (out.stderr or out.stdout)[-500:]}
-    return {"name": name, "flags": flags,
-            "step_ms": round(r["step_ms"], 2)}
+def time_compiled(compiled, args, iters: int, chunk: int = 10) -> float:
+    """Median step seconds for a pre-compiled executable (axon-safe sync)."""
+    out = compiled(*args)
+    float(jax.device_get(out[1]["loss"]))
+    samples = []
+    for _ in range(max(iters // chunk, 3)):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            out = compiled(*args)
+        float(jax.device_get(out[1]["loss"]))
+        samples.append((time.perf_counter() - t0) / chunk)
+    return sorted(samples)[len(samples) // 2]
 
 
 def main(argv=None):
@@ -76,27 +66,59 @@ def main(argv=None):
     args = p.parse_args(argv)
     want = set(args.settings.split(",")) if args.settings else None
 
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+    from gvcnn_tf_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    cfg = get_config("mn40_12view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=args.batch))
+    d = cfg.data
+    model, tx, state = create_train_state(cfg, jax.random.key(0))
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "views": jnp.asarray(
+            rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
+            jnp.float32),
+        "label": jnp.asarray(
+            rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32),
+    }
+    key = jax.random.key(1)
+    lowered = jax.jit(make_train_step(model, tx, cfg)).lower(
+        state, batch_data, key)
+
     rows = []
     base_ms = None
-    for name, flags in SETTINGS:
+    for name, opts in SETTINGS:
         if want and name not in want:
             continue
-        r = run_setting(name, flags, args.batch, args.iters)
-        if "step_ms" in r:
+        try:
+            compiled = lowered.compile(
+                compiler_options=opts or None)
+            dt = time_compiled(
+                compiled, (state, batch_data, key), args.iters)
+            r = {"name": name, "options": opts,
+                 "step_ms": round(dt * 1e3, 2)}
             if name == "default":
                 base_ms = r["step_ms"]
             if base_ms:
                 r["vs_default"] = round(r["step_ms"] / base_ms, 4)
+        except Exception as e:
+            r = {"name": name, "options": opts,
+                 "error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(r), flush=True)
         rows.append(r)
 
     if args.out:
-        lines = ["", "## XLA flag sweep (flagship train step)", "",
-                 "| setting | flags | step ms | vs default |", "|---|---|---|---|"]
+        lines = ["", "## XLA compiler-option sweep (flagship train step)",
+                 "", "| setting | options | step ms | vs default |",
+                 "|---|---|---|---|"]
         for r in rows:
             lines.append(
-                f"| {r['name']} | `{r.get('flags') or '(default)'}` | "
-                f"{r.get('step_ms', 'error')} | {r.get('vs_default', '')} |")
+                f"| {r['name']} | `{r.get('options') or '(default)'}` | "
+                f"{r.get('step_ms', r.get('error', '?'))} | "
+                f"{r.get('vs_default', '')} |")
         with open(args.out, "a") as f:
             f.write("\n".join(lines) + "\n")
     return rows

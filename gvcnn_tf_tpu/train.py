@@ -364,11 +364,14 @@ def train(
     else:
         state = jax.device_put(state, repl)
 
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
     train_step = jax.jit(
         make_train_step(model, tx, config),
         in_shardings=(repl, dsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=0,
+        compiler_options=tpu_compiler_options(),
     )
 
     if dataset_iter is None:
