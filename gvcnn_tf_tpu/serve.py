@@ -114,12 +114,21 @@ class InferenceEngine:
             self._forward = jax.jit(
                 forward, compiler_options=tpu_compiler_options())
         self._variables = variables
-        # Warm the compile so the first request is fast.
+        # Warm the compile so the first request is fast.  Bucketed batching
+        # (round 3): also compile a B=1 executable on single-device hosts so
+        # a one-shape request — the reference predict.py's actual usage
+        # shape — pays B=1 compute instead of the padded batch.
         d = config.data
         self._input_shape = (serve_batch_size, d.num_views, d.height,
                              d.width, 3)
-        out = self._forward(variables, jnp.zeros(self._input_shape, jnp.float32))
-        jax.block_until_ready(out)
+        self.buckets = [serve_batch_size]
+        if not self.sharded and serve_batch_size > 1:
+            self.buckets = [1, serve_batch_size]
+        for nb in self.buckets:
+            out = self._forward(
+                variables,
+                jnp.zeros((nb,) + self._input_shape[1:], jnp.float32))
+            jax.block_until_ready(out)
 
     def predict(self, views: np.ndarray):
         """views (N, V, H, W, 3) -> list of result dicts (chunked/padded)."""
@@ -136,7 +145,9 @@ class InferenceEngine:
             for start in range(0, len(views), self.batch):
                 chunk = views[start : start + self.batch]
                 n = len(chunk)
-                if n < self.batch:   # pad to the compiled batch
+                if n == 1 and 1 in self.buckets:
+                    pass             # dedicated B=1 executable, no padding
+                elif n < self.batch:  # pad to the compiled batch
                     pad = np.zeros((self.batch - n,) + chunk.shape[1:],
                                    chunk.dtype)
                     chunk = np.concatenate([chunk, pad])

@@ -131,3 +131,31 @@ def test_stats_latency_endpoint(server):
     assert stats["p50_ms"] > 0
     assert stats["p99_ms"] >= stats["p50_ms"]
     assert stats["serve_batch_size"] == 2
+
+
+def test_single_shape_uses_b1_bucket():
+    """Single-device engines compile a dedicated B=1 executable so one-shape
+    requests (the reference predict.py usage shape) skip batch padding."""
+    import dataclasses as dc
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.serve import InferenceEngine
+
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dc.replace(cfg.data, height=32, width=32, num_views=2,
+                        batch_size=2),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+    )
+    eng = InferenceEngine(cfg, None, serve_batch_size=4)
+    if eng.sharded:
+        assert eng.buckets == [4]
+        return
+    assert eng.buckets == [1, 4]
+    one = eng.predict(np.zeros((1, 2, 32, 32, 3), np.float32))
+    assert len(one) == 1
+    three = eng.predict(np.zeros((3, 2, 32, 32, 3), np.float32))
+    assert len(three) == 3
+    five = eng.predict(np.zeros((5, 2, 32, 32, 3), np.float32))
+    assert len(five) == 5
