@@ -37,8 +37,12 @@ SETTINGS = [
     ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    ("vmem_28m", {"xla_tpu_scoped_vmem_limit_kib": "28672"}),
+    ("vmem_40m", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
     # Latency-hiding scheduler off: reorders copies/compute differently.
     ("lhs_off", {"xla_tpu_enable_latency_hiding_scheduler": "false"}),
+    # Reduce+broadcast fusion toggle (BN patterns are reduce->broadcast).
+    ("rwb_off", {"xla_tpu_rwb_fusion": "false"}),
 ]
 
 
