@@ -164,8 +164,8 @@ def main():
                 p50, p99 = _latency(fwd, v, xs, lat_iters)
                 serving_latency[f"b{nb}_{tag}_p50_ms"] = round(p50, 2)
                 serving_latency[f"b{nb}_{tag}_p99_ms"] = round(p99, 2)
-    except Exception:
-        pass
+    except Exception as e:  # keep the headline metric; don't hide the loss
+        serving_latency["error"] = f"{type(e).__name__}: {e}"[:200]
 
     # Backbone-only train FLOPs (the conv tower is ~95% of model FLOPs,
     # SURVEY.md section 3.4): attainment computed against these is the

@@ -391,8 +391,14 @@ class InceptionV1Base(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.final_endpoint not in ENDPOINTS:
             raise ValueError(f"unknown endpoint {self.final_endpoint!r}")
-        if self.start_endpoint and self.start_endpoint not in ENDPOINTS:
-            raise ValueError(f"unknown endpoint {self.start_endpoint!r}")
+        if self.start_endpoint:
+            if self.start_endpoint not in ENDPOINTS:
+                raise ValueError(f"unknown endpoint {self.start_endpoint!r}")
+            if (ENDPOINTS.index(self.start_endpoint)
+                    >= ENDPOINTS.index(self.final_endpoint)):
+                raise ValueError(
+                    f"start_endpoint {self.start_endpoint!r} must precede "
+                    f"final_endpoint {self.final_endpoint!r}")
         x = x.astype(self.dtype)
         endpoints: Dict[str, jnp.ndarray] = {}
         skipping = bool(self.start_endpoint)

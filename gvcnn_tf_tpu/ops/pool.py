@@ -1,32 +1,31 @@
-"""Max pooling with a TPU-friendly custom VJP.
+"""Max pooling with an opt-in alternative VJP (measured negative result).
 
-Why this exists (measured, docs/PERF_LAYERS.md): XLA lowers the gradient of
-`lax.reduce_window(max)` to `select-and-scatter`, which on TPU executes as a
-serialized window scan.  In the round-2 per-layer attribution,
-`MaxPool_2a_3x3` cost 25.9 ms in the train step vs 1.6 ms forward-only at
-B=384 — ~13x over its HBM-bytes bound — and the four plan pools plus the
-nine Mixed-block Branch_3 pools aggregated ~36 ms of an 80 ms step.
+Round-2 attribution flagged pool backwards (select-and-scatter) as a
+~26 ms sinkhole; round-3 re-measurement (docs/PERF_VARIANTS.md r3) showed
+that was methodology noise: in the flagship train step ALL pool backwards
+cost ~17 ms combined, the strided plan pools sit within 1.1-1.4x of their
+HBM-bytes bounds, and every replacement formulation tried measured SLOWER.
+So the DEFAULT here (`impl="xla"`) is simply `flax.linen.max_pool`'s
+lowering, and the backbones route through this wrapper only so the
+alternative stays one switch away.
 
-The replacement backward is the *equality-mask* formulation: for each of the
-K*K window offsets, compare the strided input slice against the pooled
-output, gate the output cotangent by (equal AND not-already-credited), and
-accumulate into the input cotangent via an interior-dilated pad.  Everything
-is elementwise compares/selects plus pads — all fusable by XLA into one
-loop over the input gradient — with no select-and-scatter anywhere.
-
-Tie semantics match XLA's select-and-scatter EXACTLY: the first maximal
-element in row-major window order receives the whole cotangent (verified
-empirically against `jax.grad` of `flax.linen.max_pool` on CPU; ReLU
-activations tie at 0 constantly, so "ties are measure-zero" is false and
-bitwise-matching the reference semantics matters for training-dynamics
-parity).  The running `found` mask implements first-occurrence in the same
-row-major offset order XLA uses.
+`impl="equality"` is the custom VJP kept from that study: a two-phase
+backward with NO select-and-scatter — phase 1 computes each window's
+first-argmax index (row-major) from K*K strided slices at output
+resolution; phase 2 computes dx in one input-resolution elementwise pass,
+crediting the upsampled cotangent where a position's in-window offset
+equals the stored index.  Tie semantics match XLA's select-and-scatter
+EXACTLY (first maximal element in row-major window order, verified
+empirically; ReLU activations tie at 0 constantly, so "ties are
+measure-zero" is false and matching the reference's crediting matters for
+training-dynamics parity).  Fully covered by tests/test_pool.py and kept
+for future XLA stacks where select-and-scatter may regress.
 
 Reference parity: the reference's TF1 `tf.nn.max_pool` gradient
-(MaxPoolGrad) also credits a single argmax per window; this module keeps
-that contract while replacing only the lowering.  (SURVEY.md C6/Appendix A:
-pool placement and SAME-padding geometry; reference nets/inception_v1.py
-[U] uses slim max_pool2d with TF-SAME.)
+(MaxPoolGrad) credits a single argmax per window; both impls here keep
+that contract.  (SURVEY.md C6/Appendix A: pool placement and SAME-padding
+geometry; reference nets/inception_v1.py [U] uses slim max_pool2d with
+TF-SAME.)
 """
 
 from __future__ import annotations

@@ -164,8 +164,10 @@ class InferenceEngine:
                     if scores is not None:
                         rec["view_scores"] = scores[i].tolist()
                     results.append(rec)
-        dt = time.perf_counter() - t_start
-        self._latencies.append((dt, len(views)))
+            dt = time.perf_counter() - t_start
+            # Recorded while still holding the lock: /stats iterates this
+            # deque from other handler threads (code-review r3).
+            self._latencies.append((dt, len(views)))
         metrics_lib.log(
             f"/predict shapes={len(views)} latency_ms={dt * 1e3:.2f}"
         )
@@ -173,10 +175,12 @@ class InferenceEngine:
 
     def latency_stats(self) -> dict:
         """p50/p99 request latency over the last <=1024 requests."""
-        lats = sorted(d for d, _ in self._latencies)
+        with self._lock:
+            snapshot = list(self._latencies)
+        lats = sorted(d for d, _ in snapshot)
         if not lats:
             return {"count": 0}
-        shapes = sum(n for _, n in self._latencies)
+        shapes = sum(n for _, n in snapshot)
 
         def pct(p):
             return lats[min(int(p / 100.0 * len(lats)), len(lats) - 1)]

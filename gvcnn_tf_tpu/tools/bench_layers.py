@@ -304,6 +304,12 @@ def run(
     eps = list(endpoints or cls.ENDPOINTS)
 
     rows = []
+    if method == "marginal" and "start_endpoint" not in getattr(
+            cls, "__dataclass_fields__", {}):
+        print(json.dumps({"note": f"{backbone} has no start_endpoint "
+                          "segment support; falling back to --method "
+                          "truncated"}), flush=True)
+        method = "truncated"
     if method == "marginal":
         all_eps = list(cls.ENDPOINTS)
         for ep in eps:

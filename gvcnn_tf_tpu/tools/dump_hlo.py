@@ -30,18 +30,17 @@ import numpy as np
 
 
 def _bytes_of(shape_str: str) -> int:
-    """'bf16[384,28,28,96]{...}' -> byte count (0 if unparsable)."""
-    m = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
-    if not m:
-        return 0
-    dtype, dims = m.groups()
+    """'bf16[384,28,28,96]{...}' (or a tuple of such) -> total bytes."""
     sizes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
              "u8": 1, "f16": 2, "s64": 8, "u64": 8}
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * sizes.get(dtype, 4)
+    total = 0
+    for dtype, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * sizes.get(dtype, 4)
+    return total
 
 
 def segment_hlo(
@@ -109,8 +108,12 @@ def summarize(hlo: str) -> dict:
     ranked = []
     total_cycles = 0
     for line in hlo.splitlines():
+        # Result type is a single shape or a (tuple, of, shapes) — the
+        # latter is the dominant case for train-mode fusions (BN grads),
+        # and contains spaces (code-review r3).
         m = re.match(
-            r"\s*(?:ROOT )?%([\w.\-]+) = (\S+?\[[^\]]*\]\S*) ([a-z\-]+)\(",
+            r"\s*(?:ROOT )?%([\w.\-]+) = "
+            r"(\([^)]*\)|\S+?\[[^\]]*\]\S*) ([a-z\-]+)\(",
             line)
         if not m:
             continue
