@@ -139,7 +139,9 @@ def bench_endpoint(
             return jax.value_and_grad(loss_fn)(p, x)
         args = (params, x)
 
-    jitted = jax.jit(fn)
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    jitted = jax.jit(fn, compiler_options=tpu_compiler_options())
     lowered = jitted.lower(*args)
     cost = lowered.compile().cost_analysis() or {}
     t = _time_fn(jitted, args, iters)
@@ -257,13 +259,17 @@ def bench_marginal_pair(
     def fb(pp_, s1, x_, s2, z2_):
         return tower(pp_, x_, s1) + seg_apply(s2, z2_)
 
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    copts = tpu_compiler_options()
     if train:
         b_argnums = (0, 1, 3, 4) if prev_endpoint else (0, 1, 3)
-        fn_a = jax.jit(jax.grad(fa, argnums=(0, 1)))
-        fn_b = jax.jit(jax.grad(fb, argnums=b_argnums))
+        fn_a = jax.jit(jax.grad(fa, argnums=(0, 1)), compiler_options=copts)
+        fn_b = jax.jit(jax.grad(fb, argnums=b_argnums),
+                       compiler_options=copts)
     else:
-        fn_a = jax.jit(fa)
-        fn_b = jax.jit(fb)
+        fn_a = jax.jit(fa, compiler_options=copts)
+        fn_b = jax.jit(fb, compiler_options=copts)
     args_a = (pp, sp, x, sp2, z2)
     args_b = (pp, sp, x, sp2, z2)
 

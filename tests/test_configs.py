@@ -56,3 +56,13 @@ def test_defaults_untouched_without_flags():
 def test_unknown_config_rejected():
     with pytest.raises(KeyError, match="unknown config"):
         parse(["--config", "nope"])
+
+
+def test_tpu_compiler_options_off_tpu_and_override(monkeypatch):
+    """tpu_compiler_options: None off-TPU (CPU suite) so jit accepts it;
+    env override respected."""
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    assert tpu_compiler_options() is None  # suite runs on CPU
+    monkeypatch.setenv("GVCNN_SCOPED_VMEM_KIB", "12345")
+    assert tpu_compiler_options() is None  # still CPU — backend gates first
