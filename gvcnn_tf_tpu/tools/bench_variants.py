@@ -33,8 +33,12 @@ def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
         data=dataclasses.replace(cfg.data, batch_size=batch)
     )
     d = cfg.data
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    copts = tpu_compiler_options()
     model, tx, state = create_train_state(cfg, jax.random.key(0))
-    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0,
+                   compiler_options=copts)
 
     rng = np.random.RandomState(0)
     views = jnp.asarray(
@@ -49,7 +53,8 @@ def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
 
     try:
         cost = (
-            jax.jit(make_train_step(model, tx, cfg))
+            jax.jit(make_train_step(model, tx, cfg),
+                    compiler_options=copts)
             .lower(state, batch_data, key).compile().cost_analysis()
         ) or {}
         flops = float(cost.get("flops", 0.0))
