@@ -45,6 +45,33 @@ SETTINGS = [
     ("rwb_off", {"xla_tpu_rwb_fusion": "false"}),
 ]
 
+# Round-3b: candidate server-side options stacked ON TOP of the winning
+# 32 MiB scoped-VMEM budget.  Unknown options are rejected by the
+# server-side compiler and recorded as error rows — that is the probe.
+_V32 = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+SETTINGS += [
+    ("v32", dict(_V32)),
+    ("v32_licm2",
+     dict(_V32, xla_tpu_licm_size_inflation_ratio="2.0")),
+    ("v32_dot_dot_off",
+     dict(_V32, xla_tpu_dot_dot_fusion="false")),
+    ("v32_dot_strength_off",
+     dict(_V32, xla_tpu_enable_dot_strength_reduction="false")),
+    ("v32_same_offset",
+     dict(_V32, xla_tpu_allocate_scoped_vmem_at_same_offset="false")),
+    ("v32_prefetch_repeat",
+     dict(_V32,
+          xla_tpu_use_repeated_instance_for_preferred_prefetch_time="true")),
+    ("v32_msa_ratio",
+     dict(_V32, xla_tpu_msa_inefficient_use_to_copy_ratio="0.5")),
+    ("v32_aggressive_opt",
+     dict(_V32, xla_tpu_enable_aggressive_loop_fusion_layout_opt="true")),
+    ("v32_vector_load",
+     dict(_V32, xla_tpu_vector_load_fusion_window="2048")),
+    ("v32_retain_sched",
+     dict(_V32, xla_latency_hiding_scheduler_rerun="2")),
+]
+
 
 def time_compiled(compiled, args, iters: int, chunk: int = 10) -> float:
     """Median step seconds for a pre-compiled executable (axon-safe sync)."""

@@ -1,0 +1,227 @@
+"""Compiler-schedule profiler: per-layer timing + Perfetto trace, no runtime.
+
+SURVEY.md §5 lists tracing/profiling as a reference subsystem
+(tf.profiler / timeline in the TF1 stack).  `jax.profiler` hangs under this
+container's remote axon PJRT plugin (guarded in train.py), so this tool
+closes the gap the TPU-native way: the SCHEDULED optimized HLO of the
+flagship step already carries, per instruction, the TPU compiler's own
+`estimated_cycles` AND the originating module path (`op_name` metadata,
+e.g. ``.../GoogLeNet/Mixed_4b/Branch_1/Conv2d_0a_1x1/...``).  Since the
+scheduled entry computation lists instructions in issue order, cumulative
+cycles ARE a timeline — the same information a hardware trace viewer shows,
+minus true overlap (the estimate is per-op serial cost).
+
+Outputs:
+  * per-layer aggregation (forward vs backward split, % of step) — the
+    table a profiler's "group by op" view gives;
+  * optionally (--trace out.json) a chrome-trace/Perfetto file with one
+    complete event per scheduled instruction, tracks split fwd/bwd/other.
+
+The per-op cycle estimates are the compiler's cost model, not a hardware
+counter: whole-step estimated ms typically lands within ~15% of the
+measured step (compare bench.py) but per-op overlap is not modeled.  For
+measured per-layer wall times use tools/bench_layers.py (marginal A/B);
+this tool is the schedule/attribution view that needs only a compile.
+
+Usage (real chip; compile-only):
+
+    python -m gvcnn_tf_tpu.tools.profile_step --mode train \
+        --trace /tmp/step_trace.json --top 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import dataclasses
+import json
+import re
+
+# v5e TensorCore clock; cycles -> wall time conversion for the estimates.
+CLOCK_HZ = 0.94e9
+
+_LINE = re.compile(
+    r"\s*(?:ROOT )?%([\w.\-]+) = "
+    r"(\([^)]*\)|\S+?\[[^\]]*\]\S*) ([a-z\-]+)\(")
+_CYCLES = re.compile(r'"estimated_cycles":"(\d+)"')
+_OPNAME = re.compile(r'metadata=\{[^}]*op_name="([^"]*)"')
+# Module-path components that name a layer in any of our backbones/heads.
+_LAYER = re.compile(
+    r"(Conv2d[\w.]*|MaxPool[\w.]*|AvgPool[\w.]*|Mixed_[\w.]*|"
+    r"conv\d+[\w.]*|block\d+[\w.]*|stem|Logits[\w.]*|AuxLogits[\w.]*|"
+    r"GroupingModule|grouping|group_fusion|view_pool|Dense_\d+|head)")
+
+
+def parse_entry(hlo: str):
+    """Scheduled-entry instructions in issue order.
+
+    -> list of {name, op, shape, cycles, op_name} (only the ENTRY
+    computation: fused subcomputations carry no schedule or cycle info).
+    """
+    rows = []
+    in_entry = False
+    for line in hlo.splitlines():
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            break
+        if not in_entry:
+            continue
+        m = _LINE.match(line)
+        if not m:
+            continue
+        name, shape, op = m.groups()
+        c = _CYCLES.search(line)
+        o = _OPNAME.search(line)
+        rows.append({
+            "name": name, "op": op, "shape": shape,
+            "cycles": int(c.group(1)) if c else 0,
+            "op_name": o.group(1) if o else "",
+        })
+    return rows
+
+
+def classify(op_name: str) -> tuple[str, str]:
+    """op_name -> (layer key, phase in {fwd, bwd, other}).
+
+    jax marks reverse-mode ops with ``transpose(`` in the path; parameter
+    updates and optimizer ops have no model-module component at all.
+    """
+    phase = "bwd" if "transpose(" in op_name else (
+        "fwd" if "jvp(" in op_name or "/GVCNN/" in op_name
+        or "/GoogLeNet/" in op_name else "other")
+    m = _LAYER.search(op_name)
+    if m:
+        return m.group(1), phase
+    # Fall back to the trailing path component family.
+    tail = op_name.rsplit("/", 1)[-1]
+    fam = re.sub(r"[\d.\[\]].*", "", tail) or "misc"
+    return f"({fam})", phase
+
+
+def aggregate(rows):
+    per_layer = collections.defaultdict(lambda: {"fwd": 0, "bwd": 0,
+                                                 "other": 0, "n": 0})
+    total = 0
+    for r in rows:
+        layer, phase = classify(r["op_name"])
+        per_layer[layer][phase] += r["cycles"]
+        per_layer[layer]["n"] += 1
+        total += r["cycles"]
+    out = []
+    for layer, d in per_layer.items():
+        cyc = d["fwd"] + d["bwd"] + d["other"]
+        out.append({
+            "layer": layer, "cycles": cyc,
+            "est_ms": round(cyc / CLOCK_HZ * 1e3, 3),
+            "fwd_ms": round(d["fwd"] / CLOCK_HZ * 1e3, 3),
+            "bwd_ms": round(d["bwd"] / CLOCK_HZ * 1e3, 3),
+            "pct": round(100 * cyc / total, 1) if total else 0.0,
+            "ops": d["n"],
+        })
+    out.sort(key=lambda r: -r["cycles"])
+    return out, total
+
+
+def chrome_trace(rows):
+    """Complete-event ('X') timeline; one track per phase, µs timebase."""
+    events = []
+    tids = {"fwd": 1, "bwd": 2, "other": 3}
+    t_us = 0.0
+    for r in rows:
+        dur = r["cycles"] / CLOCK_HZ * 1e6
+        layer, phase = classify(r["op_name"])
+        events.append({
+            "ph": "X", "pid": 1, "tid": tids[phase],
+            "ts": round(t_us, 3), "dur": round(dur, 3),
+            "name": f"{layer}:{r['op']}",
+            "args": {"shape": r["shape"], "cycles": r["cycles"],
+                     "op_name": r["op_name"]},
+        })
+        t_us += dur
+    meta = [
+        {"ph": "M", "pid": 1, "tid": tid, "name": "thread_name",
+         "args": {"name": nm}}
+        for nm, tid in tids.items()
+    ]
+    return {"traceEvents": meta + events,
+            "displayTimeUnit": "ms",
+            "otherData": {"clock_hz": CLOCK_HZ,
+                          "note": "XLA:TPU estimated_cycles schedule — "
+                                  "serial cost model, overlap not shown"}}
+
+
+def flagship_hlo(mode: str, batch: int, config: str) -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+    from gvcnn_tf_tpu.utils import (fold_batch_norm, setup_compilation_cache,
+                                    tpu_compiler_options)
+
+    setup_compilation_cache()
+    cfg = get_config(config)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=batch))
+    d = cfg.data
+    model, tx, state = create_train_state(cfg, jax.random.key(0))
+    rng = np.random.RandomState(0)
+    views = jnp.asarray(
+        rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
+        jnp.float32)
+    copts = tpu_compiler_options()
+    if mode == "train":
+        batch_data = {
+            "views": views,
+            "label": jnp.asarray(
+                rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32),
+        }
+        lowered = jax.jit(make_train_step(model, tx, cfg)).lower(
+            state, batch_data, jax.random.key(1))
+    else:
+        variables = fold_batch_norm(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        lowered = jax.jit(
+            lambda v, x: model.apply(v, x, train=False)[0]
+        ).lower(variables, views)
+    return lowered.compile(compiler_options=copts or None).as_text()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="mn40_12view")
+    p.add_argument("--mode", default="train", choices=["train", "fwd"])
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--top", type=int, default=25)
+    p.add_argument("--trace", default=None,
+                   help="write a chrome-trace/Perfetto JSON here")
+    p.add_argument("--hlo-in", default=None,
+                   help="profile an existing scheduled-HLO text file "
+                        "instead of compiling (offline mode)")
+    args = p.parse_args(argv)
+
+    if args.hlo_in:
+        with open(args.hlo_in) as f:
+            hlo = f.read()
+    else:
+        hlo = flagship_hlo(args.mode, args.batch, args.config)
+    rows = parse_entry(hlo)
+    layers, total = aggregate(rows)
+    if args.trace:
+        with open(args.trace, "w") as f:
+            json.dump(chrome_trace(rows), f)
+    print(json.dumps({
+        "mode": args.mode,
+        "scheduled_ops": len(rows),
+        "total_estimated_cycles": total,
+        "estimated_step_ms": round(total / CLOCK_HZ * 1e3, 2),
+        "layers_top": layers[: args.top],
+        "trace": args.trace,
+    }, indent=1))
+    return layers
+
+
+if __name__ == "__main__":
+    main()
