@@ -414,6 +414,7 @@ def train(
 
     timer = metrics_lib.StepTimer()
     mets = {}
+    want_schedule_trace = False
     start = int(state.step)
     for step in range(start, num_steps):
         # Optional profiler capture window (SURVEY.md section 5 tracing plan:
@@ -424,11 +425,16 @@ def train(
             import os as _os
 
             if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+                # The remote axon PJRT plugin hangs start_trace (verified);
+                # fall back to the compiler-schedule trace — per-instruction
+                # estimated_cycles timeline from the step's scheduled HLO
+                # (tools/profile_step.py), written after the next step.
                 metrics_lib.log(
-                    "profiling skipped: remote axon platform hangs "
-                    "jax.profiler.start_trace"
+                    "jax.profiler unavailable under the remote axon "
+                    "platform; writing the compiler-schedule trace instead"
                 )
                 profile_steps = None
+                want_schedule_trace = True
             else:
                 jax.profiler.start_trace(tc.train_logdir)
         batch = next(it, None)
@@ -436,6 +442,18 @@ def train(
             metrics_lib.log("dataset exhausted")
             break
         state, mets = train_step(state, batch, loop_rng)
+        if want_schedule_trace:
+            want_schedule_trace = False
+            import json as _json
+            import os as _os
+
+            from gvcnn_tf_tpu.tools import profile_step as _ps
+
+            txt = train_step.lower(state, batch, loop_rng).compile().as_text()
+            path = _os.path.join(tc.train_logdir, "schedule_trace.json")
+            with open(path, "w") as f:
+                _json.dump(_ps.chrome_trace(_ps.parse_entry(txt)), f)
+            metrics_lib.log(f"schedule trace written to {path}")
         if profile_steps is not None and step + 1 == profile_steps[1]:
             jax.block_until_ready(mets)
             jax.profiler.stop_trace()

@@ -72,3 +72,36 @@ def test_chrome_trace_roundtrip(tmp_path):
     tids = {e["tid"] for e in evs}
     assert len(tids) >= 2
     (tmp_path / "t.json").write_text(s)
+
+
+def test_train_schedule_trace_fallback(tmp_path, monkeypatch):
+    """profile_steps under the axon guard writes the schedule trace."""
+    import dataclasses
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import train as train_fn
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")  # only the guard reads it
+    logdir = str(tmp_path / "train")
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", height=32, width=32,
+            num_views=2, batch_size=2, synthetic_num_shapes=4,
+        ),
+        train=dataclasses.replace(
+            cfg.train, num_steps=2, log_every=2, checkpoint_every=0,
+            train_logdir=logdir, optimizer="adam",
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        num_devices=1,
+    )
+    import os
+    os.makedirs(logdir, exist_ok=True)
+    train_fn(cfg, profile_steps=(1, 2))
+    path = os.path.join(logdir, "schedule_trace.json")
+    assert os.path.exists(path)
+    trace = json.load(open(path))
+    evs = [e for e in trace["traceEvents"] if e["ph"] == "X"]
+    assert len(evs) > 10  # the full train step schedule
