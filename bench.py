@@ -67,10 +67,16 @@ def main():
                    compiler_options=copts)
 
     rng = np.random.RandomState(0)
+    # Feed at the production transfer dtype (DataConfig.transfer_dtype
+    # "auto" -> bfloat16 for this bf16 config): same values the prefetch
+    # layer ships, and it keeps the in-step input convert off the clock.
+    from gvcnn_tf_tpu.configs import resolve_transfer_dtype
+
+    views_dtype = resolve_transfer_dtype(cfg) or jnp.float32
     views = jnp.asarray(
         rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
         jnp.float32,
-    )
+    ).astype(views_dtype)
     labels = jnp.asarray(
         rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32
     )

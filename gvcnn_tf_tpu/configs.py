@@ -48,8 +48,12 @@ class DataConfig:
     # else the native C++ decode pool on a rendered-view image tree.
     loader: str = "auto"                 # auto | tfrecord | native | synthetic
     # Host->device transfer dtype for float arrays; bfloat16 halves H2D
-    # bandwidth (the model casts to its compute dtype regardless).
-    transfer_dtype: str = "float32"      # float32 | bfloat16
+    # bandwidth (the model casts to its compute dtype regardless).  "auto"
+    # = bfloat16 iff the model computes in bfloat16 (host round-to-nearest
+    # equals the on-device convert, so the step is bit-identical — measured
+    # loss-exact and -0.7 ms/step on v5e, it also removes the in-step
+    # fp32->bf16 convert pass over the (B,V,H,W,3) input).
+    transfer_dtype: str = "auto"         # auto | float32 | bfloat16
     # Background-thread prefetch producer: overlaps host batch prep with the
     # device step.  auto = only when the host has a spare core (on a 1-CPU
     # host the producer starves the dispatcher — measured 7x slower).
@@ -171,6 +175,19 @@ class GVCNNConfig:
 
     def replace(self, **kw) -> "GVCNNConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_transfer_dtype(config: "GVCNNConfig"):
+    """DataConfig.transfer_dtype -> dtype string for the prefetch layer,
+    or None for no host-side cast.  "auto" transfers bfloat16 exactly when
+    the model computes in bfloat16 (bit-identical to the on-device convert,
+    half the H2D bytes); anything computing in float32 keeps full precision
+    on the wire."""
+    td = config.data.transfer_dtype
+    if td == "auto":
+        td = ("bfloat16" if config.compute_dtype == "bfloat16"
+              else "float32")
+    return None if td == "float32" else td
 
 
 def _cfg(**kw) -> GVCNNConfig:

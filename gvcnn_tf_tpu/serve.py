@@ -121,13 +121,20 @@ class InferenceEngine:
         d = config.data
         self._input_shape = (serve_batch_size, d.num_views, d.height,
                              d.width, 3)
+        # Ship requests at the production transfer dtype (configs
+        # resolve_transfer_dtype: bf16 for bf16-compute models — host
+        # round-to-nearest equals the on-device convert, half the bytes).
+        from gvcnn_tf_tpu.configs import resolve_transfer_dtype
+
+        self._in_dtype = jnp.dtype(resolve_transfer_dtype(config)
+                                   or jnp.float32)
         self.buckets = [serve_batch_size]
         if not self.sharded and serve_batch_size > 1:
             self.buckets = [1, serve_batch_size]
         for nb in self.buckets:
             out = self._forward(
                 variables,
-                jnp.zeros((nb,) + self._input_shape[1:], jnp.float32))
+                jnp.zeros((nb,) + self._input_shape[1:], self._in_dtype))
             jax.block_until_ready(out)
 
     def predict(self, views: np.ndarray):
@@ -152,7 +159,7 @@ class InferenceEngine:
                                    chunk.dtype)
                     chunk = np.concatenate([chunk, pad])
                 pred, prob, scores = self._forward(
-                    self._variables, jnp.asarray(chunk, jnp.float32)
+                    self._variables, jnp.asarray(chunk, self._in_dtype)
                 )
                 pred, prob = np.asarray(pred), np.asarray(prob)
                 scores = None if scores is None else np.asarray(scores)

@@ -26,7 +26,8 @@ import optax
 
 from gvcnn_tf_tpu import metrics as metrics_lib
 from gvcnn_tf_tpu.checkpoint import Checkpointer, warm_start
-from gvcnn_tf_tpu.configs import GVCNNConfig, add_flags, config_from_flags
+from gvcnn_tf_tpu.configs import (GVCNNConfig, add_flags, config_from_flags,
+                                  resolve_transfer_dtype)
 from gvcnn_tf_tpu.data import (
     make_dataset,
     prefetch_to_device,
@@ -406,10 +407,7 @@ def train(
         dataset_iter,
         size=config.data.prefetch_to_device,
         sharding=dsh,
-        transfer_dtype=(
-            None if config.data.transfer_dtype == "float32"
-            else config.data.transfer_dtype
-        ),
+        transfer_dtype=resolve_transfer_dtype(config),
     )
 
     timer = metrics_lib.StepTimer()

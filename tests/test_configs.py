@@ -66,3 +66,22 @@ def test_tpu_compiler_options_off_tpu_and_override(monkeypatch):
     assert tpu_compiler_options() is None  # suite runs on CPU
     monkeypatch.setenv("GVCNN_SCOPED_VMEM_KIB", "12345")
     assert tpu_compiler_options() is None  # still CPU — backend gates first
+
+
+def test_resolve_transfer_dtype_auto():
+    """auto -> bf16 exactly for bf16-compute configs; explicit wins."""
+    import dataclasses
+
+    from gvcnn_tf_tpu.configs import get_config, resolve_transfer_dtype
+
+    cfg = get_config("mn40_12view")  # bf16 compute
+    assert cfg.data.transfer_dtype == "auto"
+    assert resolve_transfer_dtype(cfg) == "bfloat16"
+    f32 = cfg.replace(compute_dtype="float32")
+    assert resolve_transfer_dtype(f32) is None
+    pinned = cfg.replace(
+        data=dataclasses.replace(cfg.data, transfer_dtype="float32"))
+    assert resolve_transfer_dtype(pinned) is None
+    pinned16 = f32.replace(
+        data=dataclasses.replace(f32.data, transfer_dtype="bfloat16"))
+    assert resolve_transfer_dtype(pinned16) == "bfloat16"
