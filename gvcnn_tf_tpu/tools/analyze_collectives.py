@@ -1,0 +1,158 @@
+"""Compile-time collective audit of the sharded train step (pod scaling).
+
+Single-chip hardware cannot measure pod scaling, but the communication the
+sharded program performs is a COMPILE-TIME fact: GSPMD inserts the
+collectives, and the optimized HLO lists every one with its shape.  This
+tool compiles the production DP train step over an n-device mesh (virtual
+CPU devices work — the partitioner output is platform-independent at the
+collective level), extracts all collectives with byte counts, and combines
+them with the measured single-chip step time into a ring-all-reduce ICI
+scaling model:
+
+    t_comm(n) = 2 (n-1)/n * bytes / bw_ici      (bidirectional ring)
+    efficiency(n) = t_step / (t_step + max(0, t_comm - t_overlap))
+
+Param/grad byte totals do not depend on image size or per-device batch, so
+the compile uses tiny shapes; the step time to weigh against comes from
+bench.py on the real chip.
+
+Expected for pure DP: ONE logical gradient all-reduce of ~sum(param bytes)
+(fp32) per step plus O(KB) scalar reductions (metrics, BN stats are batch
+stats — also all-reduced).  Run with --json for machine-readable output.
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m gvcnn_tf_tpu.tools.analyze_collectives --devices 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import re
+
+# v5e: 4 ICI links/chip at ~45 GB/s usable each direction per the public
+# spec sheet's 1600 Gbps aggregate; the ring model uses one direction.
+ICI_GBPS = 45.0
+
+_COLLECTIVES = ("all-reduce", "reduce-scatter", "all-gather",
+                "collective-permute", "all-to-all")
+
+_SIZES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
+          "u8": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
+
+
+def _bytes_of(shape_str: str) -> int:
+    total = 0
+    for dtype, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _SIZES.get(dtype, 4)
+    return total
+
+
+def collect(hlo: str):
+    """Optimized-HLO text -> list of collective ops with byte counts."""
+    out = []
+    for line in hlo.splitlines():
+        m = re.match(
+            r"\s*(?:ROOT )?%?([\w.\-]+) = "
+            r"(\([^)]*\)|\S+?\[[^\]]*\]\S*) ([a-z\-]+)\(", line)
+        if not m or m.group(3) not in _COLLECTIVES:
+            continue
+        name, shape, op = m.groups()
+        out.append({"op": op, "name": name, "shape": shape[:120],
+                    "bytes": _bytes_of(shape)})
+    return out
+
+
+def sharded_step_hlo(n_devices: int) -> str:
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+
+    cfg = get_config("mn40_12view")
+    if jax.default_backend() != "tpu":
+        cfg = cfg.replace(compute_dtype="float32",
+                          use_pallas_grouping=False)
+    # Tiny shapes: collective bytes depend on the param tree, not on the
+    # image or per-device batch (asserted by the unit test).
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, height=64, width=64, num_views=4, batch_size=n_devices))
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    model, tx, state = create_train_state(cfg, jax.random.key(0))
+    state = jax.device_put(state, repl)
+    d = cfg.data
+    rng = np.random.RandomState(0)
+    batch = {
+        "views": jax.device_put(
+            rng.rand(d.batch_size, d.num_views, d.height, d.width, 3)
+            .astype(np.float32), dsh),
+        "label": jax.device_put(
+            rng.randint(0, d.num_classes, size=d.batch_size)
+            .astype(np.int32), dsh),
+    }
+    key = jax.device_put(jax.random.key(0), repl)
+    step = jax.jit(make_train_step(model, tx, cfg),
+                   in_shardings=(repl, dsh, repl),
+                   out_shardings=(repl, repl))
+    return step.lower(state, batch, key).compile().as_text()
+
+
+def scaling_model(total_bytes: int, step_ms: float,
+                  overlap_frac: float = 0.0):
+    """Ring all-reduce over ICI at various pod sizes -> efficiency table."""
+    rows = []
+    for n in (2, 4, 8, 16, 64, 256):
+        t_comm_ms = 2 * (n - 1) / n * total_bytes / (ICI_GBPS * 1e9) * 1e3
+        exposed = t_comm_ms * (1 - overlap_frac)
+        rows.append({
+            "devices": n,
+            "allreduce_ms": round(t_comm_ms, 3),
+            "dp_efficiency": round(step_ms / (step_ms + exposed), 4),
+        })
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--step-ms", type=float, default=75.8,
+                   help="measured single-chip step time (bench.py)")
+    p.add_argument("--overlap", type=float, default=0.0,
+                   help="fraction of all-reduce hidden behind compute "
+                        "(0 = fully exposed, worst case)")
+    args = p.parse_args(argv)
+
+    hlo = sharded_step_hlo(args.devices)
+    ops = collect(hlo)
+    total = sum(o["bytes"] for o in ops if o["op"] == "all-reduce")
+    ops.sort(key=lambda o: -o["bytes"])
+    print(json.dumps({
+        "devices": args.devices,
+        "collective_ops": len(ops),
+        "op_kinds": sorted({o["op"] for o in ops}),
+        "allreduce_bytes_total": total,
+        "allreduce_mbytes": round(total / 1e6, 2),
+        "top_ops": ops[:10],
+        "step_ms_measured": args.step_ms,
+        "ici_gbps_assumed": ICI_GBPS,
+        "scaling_model_worst_case": scaling_model(
+            total, args.step_ms, args.overlap),
+        "note": "bytes are a compile-time fact of the GSPMD program; "
+                "efficiency is a ring model over one ICI direction with "
+                "all-reduce fully exposed (LHS overlap only improves it)",
+    }, indent=1))
+    return ops
+
+
+if __name__ == "__main__":
+    main()
