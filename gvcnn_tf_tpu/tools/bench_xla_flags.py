@@ -72,6 +72,16 @@ SETTINGS += [
      dict(_V32, xla_latency_hiding_scheduler_rerun="2")),
 ]
 
+# Round-3b: re-bracket the VMEM budget WITH dot-strength-reduction off
+# (the production combination) — fusion decisions flip with the budget, so
+# the optimum could move when the rewrite set changes.
+_DS = {"xla_tpu_enable_dot_strength_reduction": "false"}
+SETTINGS += [
+    (f"ds_v{k // 1024}m",
+     dict(_DS, xla_tpu_scoped_vmem_limit_kib=str(k)))
+    for k in (28672, 30720, 32768, 34816, 36864, 40960)
+]
+
 
 def time_compiled(compiled, args, iters: int, chunk: int = 10) -> float:
     """Median step seconds for a pre-compiled executable (axon-safe sync)."""
