@@ -219,3 +219,20 @@ def test_gradient_accumulation_matches_manual_microbatching():
             np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
             err_msg=str(p),
         )
+
+
+def test_bf16_transfer_is_bit_identical():
+    """Host-cast bf16 views == device-side fp32->bf16 convert, exactly
+    (the claim behind transfer_dtype="auto"; round-to-nearest-even both
+    ways).  Checked on a bf16-compute model: same loss, same grads."""
+    cfg = tiny_config("mn10_8view").replace(compute_dtype="bfloat16")
+    model, tx, state = create_train_state(cfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, tx, cfg))
+    batch32 = make_batch(cfg)
+    batch16 = dict(batch32, views=batch32["views"].astype(jnp.bfloat16))
+    key = jax.random.key(1)
+    s32, m32 = step(state, batch32, key)
+    s16, m16 = step(state, batch16, key)
+    assert float(m32["loss"]) == float(m16["loss"])
+    for a, b in zip(jax.tree.leaves(s32.params), jax.tree.leaves(s16.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
