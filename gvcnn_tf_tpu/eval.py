@@ -91,29 +91,61 @@ def evaluate(
             config.data, train=False, seed=config.train.seed, num_epochs=1
         )
 
+    # Pipeline the stream (SURVEY.md B4 applies to eval too): pad on host,
+    # double-buffer the H2D transfer at the resolved dtype (bf16 for bf16
+    # models — halves the dominant eval byte stream), and fetch batch i-1's
+    # counts while batch i computes, so the device never idles on host sync.
+    import collections
+
+    from gvcnn_tf_tpu.configs import resolve_transfer_dtype
+    from gvcnn_tf_tpu.data import prefetch_to_device
+
+    meta = collections.deque()  # (n, host labels[:n]) per generated batch
+
+    def padded():
+        for batch in dataset_iter:
+            views = np.asarray(batch["views"])
+            labels = np.asarray(batch["label"])
+            n = len(labels)
+            meta.append((n, labels[:n].copy()))
+            if n != pad_to:
+                views = np.concatenate(
+                    [views,
+                     np.zeros((pad_to - n,) + views.shape[1:], views.dtype)]
+                )
+                labels = np.concatenate(
+                    [labels, np.zeros(pad_to - n, labels.dtype)]
+                )
+            yield {"views": views, "label": labels}
+
+    it = prefetch_to_device(
+        padded(), size=config.data.prefetch_to_device, sharding=dsh,
+        transfer_dtype=resolve_transfer_dtype(config),
+    )
+
     n_correct, n_total = 0, 0
     ncls = config.data.num_classes
     cls_correct = np.zeros(ncls, np.int64)
     cls_total = np.zeros(ncls, np.int64)
-    for batch in dataset_iter:
-        views = np.asarray(batch["views"])
-        labels = np.asarray(batch["label"])
-        n = len(labels)
-        if n != pad_to:
-            views = np.concatenate(
-                [views, np.zeros((pad_to - n,) + views.shape[1:], views.dtype)]
-            )
-            labels = np.concatenate(
-                [labels, np.zeros(pad_to - n, labels.dtype)]
-            )
-        correct, pred = eval_step(variables, views, labels)
-        correct = np.asarray(correct)[:n]
-        labels = labels[:n]
+    pending = None
+
+    def drain(item):
+        nonlocal n_correct, n_total
+        correct_d, (n, labels) = item
+        correct = np.asarray(correct_d)[:n]
         n_correct += int(correct.sum())
         n_total += n
         if per_class:
             np.add.at(cls_correct, labels, correct)
             np.add.at(cls_total, labels, 1)
+
+    for batch in it:
+        correct, pred = eval_step(variables, batch["views"], batch["label"])
+        if pending is not None:
+            drain(pending)
+        pending = (correct, meta.popleft())
+    if pending is not None:
+        drain(pending)
 
     result = {
         "accuracy": n_correct / max(n_total, 1),

@@ -159,3 +159,26 @@ def test_single_shape_uses_b1_bucket():
     assert len(three) == 3
     five = eng.predict(np.zeros((5, 2, 32, 32, 3), np.float32))
     assert len(five) == 5
+
+
+def test_engine_bf16_transfer_path():
+    """bf16-compute config -> engine ships requests as bf16 (transfer_dtype
+    auto); predictions still come back well-formed."""
+    import jax.numpy as jnp
+
+    from gvcnn_tf_tpu.serve import InferenceEngine
+
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, height=32, width=32, num_views=2,
+                                 batch_size=2),
+        compute_dtype="bfloat16",
+        use_pallas_grouping=False,
+    )
+    eng = InferenceEngine(cfg, checkpoint_dir=None, serve_batch_size=2)
+    assert eng._in_dtype == jnp.bfloat16
+    views = np.random.RandomState(0).rand(3, 2, 32, 32, 3).astype(np.float32)
+    out = eng.predict(views * 2 - 1)
+    assert len(out) == 3
+    assert all(0 <= r["class_index"] < cfg.data.num_classes for r in out)
+    assert all(0.0 <= r["probability"] <= 1.0 for r in out)
