@@ -94,6 +94,10 @@ class TrainConfig:
     # their grads before the optimizer step — large effective batches
     # beyond HBM. BN statistics chain per microbatch (standard semantics).
     accumulate_steps: int = 1
+    # Periodic in-training evaluation over the validation split every N
+    # steps (0 = off — the reference runs eval.py as a separate process;
+    # this folds that loop in and logs val_accuracy to the metric stream).
+    eval_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +292,8 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--accumulate_steps", type=int, default=None,
                    help="gradient-accumulation microbatches per step")
+    p.add_argument("--eval_every", type=int, default=None,
+                   help="run validation-split eval every N steps (0 = off)")
     p.add_argument("--train_logdir", default=None)
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--dataset", default=None)
@@ -329,7 +335,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("epochs", train_kw), ("steps_per_epoch", train_kw),
-        ("accumulate_steps", train_kw),
+        ("accumulate_steps", train_kw), ("eval_every", train_kw),
         ("checkpoint_path", train_kw), ("seed", train_kw),
         ("num_group", top_kw), ("backbone", top_kw), ("model", top_kw),
         ("bn_momentum", top_kw), ("group_weight", top_kw),

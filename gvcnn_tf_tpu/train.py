@@ -469,6 +469,27 @@ def train(
             timer.reset()
         if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
             ckpt.save(step + 1, _saveable(state))
+        # Periodic in-training validation (reference workflow runs eval.py
+        # as a separate process; --eval_every folds that loop in).  Single-
+        # process only: evaluate() streams a host-side split, which each
+        # process would duplicate under multi-controller.
+        if (
+            tc.eval_every > 0
+            and (step + 1) % tc.eval_every == 0
+            and jax.process_count() == 1
+        ):
+            from gvcnn_tf_tpu.eval import evaluate as _evaluate
+
+            res = _evaluate(config, state=state)
+            writer.scalars(
+                step + 1,
+                {"val_accuracy": res["accuracy"], "val_count": res["count"]},
+            )
+            metrics_lib.log(
+                f"step {step + 1} val accuracy {res['accuracy']:.4f} "
+                f"({res['correct']}/{res['count']})"
+            )
+            timer.reset()  # don't bill eval wall time to steps/sec
     if ckpt is not None:
         if ckpt.latest_step() != int(state.step):
             ckpt.save(int(state.step), _saveable(state), force=True)

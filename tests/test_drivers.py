@@ -157,3 +157,39 @@ def test_metric_writer_tensorboard_events(tmp_path):
     import glob
     events = glob.glob(logdir + "/events.out.tfevents.*")
     assert events, "no TensorBoard event file written"
+
+
+def test_train_with_periodic_eval(tmp_path):
+    """--eval_every folds the reference's separate eval.py loop into
+    training: val_accuracy appears in the metric stream at the cadence."""
+    from gvcnn_tf_tpu import metrics as metrics_lib
+
+    class Recorder(metrics_lib.MetricWriter):
+        def __init__(self):
+            super().__init__(None)
+            self.records = []
+
+        def scalars(self, step, values):
+            self.records.append((step, dict(values)))
+
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", height=32, width=32,
+            num_views=2, batch_size=4, synthetic_num_shapes=8,
+        ),
+        train=dataclasses.replace(
+            cfg.train, num_steps=4, log_every=2, checkpoint_every=0,
+            eval_every=2, train_logdir=str(tmp_path / "train"),
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        num_devices=1,
+    )
+    rec = Recorder()
+    train_fn(cfg, writer=rec)
+    evals = [(s, v) for s, v in rec.records if "val_accuracy" in v]
+    assert [s for s, _ in evals] == [2, 4]
+    for _, v in evals:
+        assert 0.0 <= v["val_accuracy"] <= 1.0
+        assert v["val_count"] > 0
