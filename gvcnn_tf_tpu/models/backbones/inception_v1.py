@@ -423,7 +423,11 @@ class InceptionV1Base(nn.Module):
                                    bn_momentum=self.bn_momentum, name=name)(x, train)
             elif kind == "pool":
                 _, kernel, stride = spec
-                x = max_pool(x, kernel, stride, padding="SAME")
+                # Pools have no param scope; the named_scope puts the
+                # endpoint name into HLO op_name metadata so profilers
+                # (tools/profile_step.py) attribute them like the convs.
+                with jax.named_scope(name):
+                    x = max_pool(x, kernel, stride, padding="SAME")
             else:
                 _, b0, b1r, b1, b2r, b2, b3 = spec
                 x = InceptionBlock(b0, b1r, b1, b2r, b2, b3,

@@ -166,11 +166,13 @@ def flagship_hlo(mode: str, batch: int, config: str) -> str:
     cfg = get_config(config)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=batch))
     d = cfg.data
+    from gvcnn_tf_tpu.configs import resolve_transfer_dtype
+
     model, tx, state = create_train_state(cfg, jax.random.key(0))
     rng = np.random.RandomState(0)
     views = jnp.asarray(
         rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
-        jnp.float32)
+        jnp.float32).astype(resolve_transfer_dtype(cfg) or jnp.float32)
     copts = tpu_compiler_options()
     if mode == "train":
         batch_data = {
