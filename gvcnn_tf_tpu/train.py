@@ -410,6 +410,35 @@ def train(
         transfer_dtype=resolve_transfer_dtype(config),
     )
 
+    if jax.process_count() > 1:
+        # Pre-compile the step AOT and rendezvous before the first
+        # execution: Gloo's context init (CPU pods) and collective setup
+        # run against a ~30 s key-value timeout, and per-host compile-time
+        # skew at the first collective can exceed it (observed: one host
+        # 3 min into an XLA compile while its peer timed out waiting).
+        # The coordination-service barrier has its own long timeout, so
+        # hosts meet AFTER the slow part.  Train batches are fixed-shape,
+        # so the AOT executable serves the whole run.
+        d = config.data
+        vdt = jnp.bfloat16 if (
+            resolve_transfer_dtype(config) == "bfloat16") else jnp.float32
+        batch_sds = {
+            "views": jax.ShapeDtypeStruct(
+                (d.batch_size, d.num_views, d.height, d.width, 3), vdt,
+                sharding=dsh),
+            "label": jax.ShapeDtypeStruct(
+                (d.batch_size,), jnp.int32, sharding=dsh),
+        }
+        train_step = train_step.lower(state, batch_sds, loop_rng).compile()
+        try:
+            from jax._src import distributed as _dist
+
+            if _dist.global_state.client is not None:
+                _dist.global_state.client.wait_at_barrier(
+                    "gvcnn_train_precompiled", timeout_in_ms=600_000)
+        except Exception as e:  # barrier is best-effort hardening
+            metrics_lib.log(f"precompile barrier unavailable: {e!r}")
+
     timer = metrics_lib.StepTimer()
     mets = {}
     want_schedule_trace = False
@@ -440,7 +469,7 @@ def train(
             metrics_lib.log("dataset exhausted")
             break
         state, mets = train_step(state, batch, loop_rng)
-        if want_schedule_trace:
+        if want_schedule_trace and hasattr(train_step, "lower"):
             want_schedule_trace = False
             import json as _json
             import os as _os
