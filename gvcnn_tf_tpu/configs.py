@@ -293,7 +293,8 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--accumulate_steps", type=int, default=None,
                    help="gradient-accumulation microbatches per step")
     p.add_argument("--eval_every", type=int, default=None,
-                   help="run validation-split eval every N steps (0 = off)")
+                   help="run validation-split eval every N steps "
+                        "(0 = off; single-process runs only)")
     p.add_argument("--train_logdir", default=None)
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--dataset", default=None)

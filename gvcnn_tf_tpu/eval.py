@@ -39,10 +39,17 @@ def evaluate(
     from gvcnn_tf_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
-    model, init_vars = init_model(config, jax.random.key(config.train.seed))
     if state is not None:
+        # In-memory weights (tests, --eval_every): build the module only —
+        # init_model would compute and discard a whole parameter tree on
+        # every periodic-eval call.
+        from gvcnn_tf_tpu.models.gvcnn import build_model
+
+        model = build_model(config)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
     else:
+        model, init_vars = init_model(
+            config, jax.random.key(config.train.seed))
         # Partial restore: params + BN stats only, independent of whichever
         # optimizer wrote the checkpoint (reference Saver.restore(var_list)).
         ckpt_dir = checkpoint_dir or config.train.train_logdir
@@ -119,7 +126,9 @@ def evaluate(
             yield {"views": views, "label": labels}
 
     it = prefetch_to_device(
-        padded(), size=config.data.prefetch_to_device, sharding=dsh,
+        # prefetch_to_device(size=0) yields nothing; depth 1 degenerates to
+        # the unpipelined loop, so treat 0 ("prefetch off") as 1 here.
+        padded(), size=max(config.data.prefetch_to_device, 1), sharding=dsh,
         transfer_dtype=resolve_transfer_dtype(config),
     )
 

@@ -85,6 +85,13 @@ def sharded_step_hlo(n_devices: int) -> str:
     # image or per-device batch (asserted by the unit test).
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, height=64, width=64, num_views=4, batch_size=n_devices))
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())} — a "
+            f"shrunken mesh would audit a collective-free program and "
+            f"report a vacuous 100% efficiency; launch with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices} "
+            f"(see `make collectives`)")
     mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("data",))
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))

@@ -117,11 +117,15 @@ def main(argv=None):
         data=dataclasses.replace(cfg.data, batch_size=args.batch))
     d = cfg.data
     model, tx, state = create_train_state(cfg, jax.random.key(0))
+    from gvcnn_tf_tpu.configs import resolve_transfer_dtype
+
     rng = np.random.RandomState(0)
+    # Feed at the production transfer dtype (bf16 for bf16 configs) so the
+    # A/B rankings measure the program production actually runs.
     batch_data = {
         "views": jnp.asarray(
             rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
-            jnp.float32),
+            jnp.float32).astype(resolve_transfer_dtype(cfg) or jnp.float32),
         "label": jnp.asarray(
             rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32),
     }

@@ -164,6 +164,11 @@ def flagship_hlo(mode: str, batch: int, config: str) -> str:
 
     setup_compilation_cache()
     cfg = get_config(config)
+    if jax.default_backend() != "tpu":
+        # Same off-TPU fallback as analyze_collectives: the Pallas grouping
+        # kernel has no CPU lowering, and bf16 profiles are TPU-specific.
+        cfg = cfg.replace(compute_dtype="float32",
+                          use_pallas_grouping=False)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=batch))
     d = cfg.data
     from gvcnn_tf_tpu.configs import resolve_transfer_dtype

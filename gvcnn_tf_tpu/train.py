@@ -420,8 +420,7 @@ def train(
         # hosts meet AFTER the slow part.  Train batches are fixed-shape,
         # so the AOT executable serves the whole run.
         d = config.data
-        vdt = jnp.bfloat16 if (
-            resolve_transfer_dtype(config) == "bfloat16") else jnp.float32
+        vdt = jnp.dtype(resolve_transfer_dtype(config) or jnp.float32)
         batch_sds = {
             "views": jax.ShapeDtypeStruct(
                 (d.batch_size, d.num_views, d.height, d.width, 3), vdt,
@@ -469,14 +468,21 @@ def train(
             metrics_lib.log("dataset exhausted")
             break
         state, mets = train_step(state, batch, loop_rng)
-        if want_schedule_trace and hasattr(train_step, "lower"):
+        if want_schedule_trace:
             want_schedule_trace = False
             import json as _json
             import os as _os
 
             from gvcnn_tf_tpu.tools import profile_step as _ps
 
-            txt = train_step.lower(state, batch, loop_rng).compile().as_text()
+            # train_step is either the jit wrapper or (multi-process) the
+            # AOT-compiled executable; both can produce the compiled text.
+            txt = (
+                train_step.as_text()
+                if not hasattr(train_step, "lower")
+                else train_step.lower(state, batch, loop_rng)
+                .compile().as_text()
+            )
             path = _os.path.join(tc.train_logdir, "schedule_trace.json")
             with open(path, "w") as f:
                 _json.dump(_ps.chrome_trace(_ps.parse_entry(txt)), f)
@@ -502,11 +508,13 @@ def train(
         # as a separate process; --eval_every folds that loop in).  Single-
         # process only: evaluate() streams a host-side split, which each
         # process would duplicate under multi-controller.
-        if (
-            tc.eval_every > 0
-            and (step + 1) % tc.eval_every == 0
-            and jax.process_count() == 1
-        ):
+        if tc.eval_every > 0 and jax.process_count() > 1:
+            if step == start:
+                metrics_lib.log(
+                    "eval_every is single-process only and is skipped on "
+                    "this multi-process run; use eval.py on a checkpoint"
+                )
+        elif tc.eval_every > 0 and (step + 1) % tc.eval_every == 0:
             from gvcnn_tf_tpu.eval import evaluate as _evaluate
 
             res = _evaluate(config, state=state)

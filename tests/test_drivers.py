@@ -193,3 +193,13 @@ def test_train_with_periodic_eval(tmp_path):
     for _, v in evals:
         assert 0.0 <= v["val_accuracy"] <= 1.0
         assert v["val_count"] > 0
+
+
+def test_eval_with_prefetch_disabled(trained):
+    """prefetch_to_device=0 ('prefetch off') must still evaluate the whole
+    split — regression for the pipelined eval silently yielding nothing."""
+    cfg, state, _, logdir = trained
+    cfg0 = cfg.replace(
+        data=dataclasses.replace(cfg.data, prefetch_to_device=0))
+    res = eval_fn(cfg0, checkpoint_dir=logdir)
+    assert res["count"] > 0

@@ -26,15 +26,11 @@ os.environ["XLA_FLAGS"] = (
 )
 import jax
 jax.config.update("jax_platforms", "cpu")
-# Share the suite's persistent compile cache: the sharded train step is a
-# ~3 min XLA:CPU compile per process on this host, and compile-time SKEW
-# between the two processes can exceed Gloo's TCP connect timeout (observed
-# once under external CPU contention).  A warm cache removes the window.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("GVCNN_TEST_CACHE", "/tmp/jax_cpu_test_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: deliberately NO persistent compile cache here — XLA:CPU AOT cache
+# entries embed host CPU features (utils/cache.py documents the SIGILL
+# hazard, and feature-mismatch warnings were observed even same-host).
+# Compile-time SKEW between the two processes instead is handled by
+# train()'s AOT-precompile + coordination barrier, which this test covers.
 
 pid, coord, logdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 from gvcnn_tf_tpu.parallel.multihost import initialize_distributed
