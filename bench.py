@@ -135,6 +135,23 @@ def main():
     dt_fwd = (time.perf_counter() - t0) / iters
     eval_views_per_sec = d.batch_size * d.num_views / dt_fwd
 
+    # Peak serving throughput: B=64 is the measured sweet spot on v5e
+    # (docs/PERF_VARIANTS.md r3b, +8% over B=32; --serve_batch_size 64).
+    serving_peak = 0.0
+    if on_tpu:
+        try:
+            views64 = jnp.concatenate([views, views], axis=0)
+            out = fwd(variables, views64)
+            float(jax.device_get(out[0, 0]))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fwd(variables, views64)
+            float(jax.device_get(out[0, 0]))
+            dt64 = (time.perf_counter() - t0) / iters
+            serving_peak = views64.shape[0] * d.num_views / dt64
+        except Exception:
+            pass
+
     # Serving latency (VERDICT r2 Next #6): per-request p50/p99 at B=1 (the
     # reference predict.py's actual usage shape) and at the serve.py padded
     # batch (8), BN-folded (serving default) vs unfolded.  Each call is
@@ -227,6 +244,7 @@ def main():
         "extra": {
             "shapes_per_sec": round(shapes_per_sec, 2),
             "eval_views_per_sec": round(eval_views_per_sec, 2),
+            "serving_peak_views_per_sec_b64": round(serving_peak, 2),
             "step_time_ms": round(dt * 1e3, 2),
             "step_time_ms_min": round(samples[0] * 1e3, 2),
             "step_time_ms_max": round(samples[-1] * 1e3, 2),
