@@ -438,11 +438,42 @@ def train(
         except Exception as e:  # barrier is best-effort hardening
             metrics_lib.log(f"precompile barrier unavailable: {e!r}")
 
+    # Preemption-safe shutdown (SURVEY.md §5 failure-detection row):
+    # spot/preemptible TPU VMs deliver SIGTERM with a grace window.  The
+    # handler only sets a flag; the loop finishes the in-flight step, saves
+    # a checkpoint, and returns cleanly — auto-resume picks it up on the
+    # next launch.  Installed only in the main thread (signal module
+    # restriction); prior handlers are chained.
+    import signal as _signal
+    import threading as _threading
+
+    preempted = _threading.Event()
+    prev_handlers = {}
+    if _threading.current_thread() is _threading.main_thread():
+        def _on_term(signum, frame):
+            preempted.set()
+            metrics_lib.log(
+                f"signal {signum} received: checkpoint-and-exit after the "
+                f"current step")
+
+        for sig in (_signal.SIGTERM,):  # SIGINT keeps KeyboardInterrupt
+            try:
+                prev_handlers[sig] = _signal.signal(sig, _on_term)
+            except (ValueError, OSError):  # non-main thread / exotic host
+                pass
+
     timer = metrics_lib.StepTimer()
     mets = {}
     want_schedule_trace = False
     start = int(state.step)
     for step in range(start, num_steps):
+        if preempted.is_set():
+            # The epilogue below force-saves any unsaved step and closes
+            # the checkpointer; breaking here is the whole shutdown.
+            metrics_lib.log(
+                f"stopping at step {int(state.step)} for preemption; "
+                f"auto-resume will continue from the saved checkpoint")
+            break
         # Optional profiler capture window (SURVEY.md section 5 tracing plan:
         # jax.profiler -> Perfetto/TensorBoard trace under train_logdir).
         # Skipped under the remote `axon` PJRT plugin, whose profiler hook
@@ -531,6 +562,11 @@ def train(
         if ckpt.latest_step() != int(state.step):
             ckpt.save(int(state.step), _saveable(state), force=True)
         ckpt.close()
+    for sig, prev in prev_handlers.items():
+        try:
+            _signal.signal(sig, prev)
+        except (ValueError, OSError):
+            pass
     writer.flush()
     return state, mets
 

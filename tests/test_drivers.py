@@ -203,3 +203,51 @@ def test_eval_with_prefetch_disabled(trained):
         data=dataclasses.replace(cfg.data, prefetch_to_device=0))
     res = eval_fn(cfg0, checkpoint_dir=logdir)
     assert res["count"] > 0
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training -> finish the in-flight step, save, return
+    cleanly; a relaunch auto-resumes from the preemption checkpoint."""
+    import signal
+
+    logdir = str(tmp_path / "train")
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", height=32, width=32,
+            num_views=2, batch_size=2, synthetic_num_shapes=4,
+        ),
+        train=dataclasses.replace(
+            cfg.train, num_steps=100, log_every=100, checkpoint_every=50,
+            train_logdir=logdir,
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        num_devices=1,
+    )
+    from gvcnn_tf_tpu.data import make_dataset
+
+    inner = make_dataset(cfg.data, train=True, seed=0)
+
+    def terminating_iter():
+        for i, batch in enumerate(inner):
+            if i == 3:  # deliver the signal mid-run, like a spot VM would
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield batch
+
+    state, _ = train_fn(cfg, dataset_iter=terminating_iter())
+    stopped = int(state.step)
+    assert 3 <= stopped < 100  # stopped early, after the in-flight step
+    # handler restored
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler) or callable(
+        signal.getsignal(signal.SIGTERM))
+
+    from gvcnn_tf_tpu.checkpoint import Checkpointer
+
+    assert Checkpointer(logdir).latest_step() == stopped
+    # relaunch: auto-resume continues from the preemption checkpoint
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, num_steps=stopped + 2))
+    state2, _ = train_fn(cfg2)
+    assert int(state2.step) == stopped + 2
