@@ -531,6 +531,15 @@ def train(
             vals["lr"] = float(make_lr_schedule(tc)(step))
             if steps_per_epoch > 0:
                 vals["epoch"] = round((step + 1) / steps_per_epoch, 3)
+            try:
+                # HBM observability on real TPU VMs; memory_stats() is None
+                # under this container's tunneled plugin and on XLA:CPU.
+                stats = jax.local_devices()[0].memory_stats()
+                if stats and "bytes_in_use" in stats:
+                    vals["hbm_used_mb"] = round(
+                        stats["bytes_in_use"] / 1e6, 1)
+            except Exception:
+                pass
             writer.scalars(step + 1, vals)
             timer.reset()
         if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
