@@ -33,7 +33,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,7 @@ class InferenceEngine:
         state=None,
         serve_batch_size: int = 8,
         fold_bn: bool = True,
+        buckets: Optional[Sequence[int]] = None,
     ):
         self.config = config
         self.batch = serve_batch_size
@@ -128,9 +129,22 @@ class InferenceEngine:
 
         self._in_dtype = jnp.dtype(resolve_transfer_dtype(config)
                                    or jnp.float32)
-        self.buckets = [serve_batch_size]
-        if not self.sharded and serve_batch_size > 1:
-            self.buckets = [1, serve_batch_size]
+        # Batch buckets: each size gets its own warmed executable; a
+        # request chunk runs at the smallest bucket that fits, so small
+        # requests pay small compute instead of the full padded batch.
+        # Default {1, serve_batch_size}; --serve_buckets customizes (e.g.
+        # 1,8,32 for mixed request sizes).  Sharded engines keep the single
+        # device-divisible batch.
+        if self.sharded:
+            self.buckets = [serve_batch_size]
+        elif buckets:
+            self.buckets = sorted({int(b) for b in buckets}
+                                  | {serve_batch_size})
+        else:
+            self.buckets = sorted({1, serve_batch_size})
+        if any(b < 1 for b in self.buckets):
+            raise ValueError(f"buckets must be >= 1: {self.buckets}")
+        self.batch = self.buckets[-1]  # chunk stride = largest bucket
         for nb in self.buckets:
             out = self._forward(
                 variables,
@@ -152,10 +166,10 @@ class InferenceEngine:
             for start in range(0, len(views), self.batch):
                 chunk = views[start : start + self.batch]
                 n = len(chunk)
-                if n == 1 and 1 in self.buckets:
-                    pass             # dedicated B=1 executable, no padding
-                elif n < self.batch:  # pad to the compiled batch
-                    pad = np.zeros((self.batch - n,) + chunk.shape[1:],
+                # Smallest compiled bucket that fits this chunk.
+                bucket = next(b for b in self.buckets if b >= n)
+                if n < bucket:  # pad to the bucket's compiled batch
+                    pad = np.zeros((bucket - n,) + chunk.shape[1:],
                                    chunk.dtype)
                     chunk = np.concatenate([chunk, pad])
                 pred, prob, scores = self._forward(
@@ -257,11 +271,11 @@ def make_handler(engine: InferenceEngine):
 
 
 def serve(config, checkpoint_dir=None, *, state=None, port=8390,
-          serve_batch_size=8, block=True, fold_bn=True):
+          serve_batch_size=8, block=True, fold_bn=True, buckets=None):
     """Start the server; returns (httpd, thread) when block=False."""
     engine = InferenceEngine(config, checkpoint_dir, state=state,
                              serve_batch_size=serve_batch_size,
-                             fold_bn=fold_bn)
+                             fold_bn=fold_bn, buckets=buckets)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(engine))
     metrics_lib.log(f"serving on :{httpd.server_address[1]}")
     if block:
@@ -278,6 +292,10 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--port", type=int, default=8390)
     p.add_argument("--serve_batch_size", type=int, default=8)
+    p.add_argument("--serve_buckets", default=None,
+                   help="comma-separated batch buckets, each compiled once; "
+                        "a request runs at the smallest bucket that fits "
+                        "(default: 1,<serve_batch_size>)")
     args = p.parse_args(argv)
     config = config_from_flags(args)
     from gvcnn_tf_tpu.utils import setup_compilation_cache
@@ -288,6 +306,10 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir or config.train.train_logdir,
         port=args.port,
         serve_batch_size=args.serve_batch_size,
+        buckets=(
+            [int(x) for x in args.serve_buckets.split(",") if x]
+            if args.serve_buckets else None
+        ),
     )
 
 

@@ -182,3 +182,26 @@ def test_engine_bf16_transfer_path():
     assert len(out) == 3
     assert all(0 <= r["class_index"] < cfg.data.num_classes for r in out)
     assert all(0.0 <= r["probability"] <= 1.0 for r in out)
+
+
+def test_engine_custom_buckets():
+    """--serve_buckets: each request chunk runs at the smallest compiled
+    bucket that fits; the largest bucket sets the chunk stride."""
+    from gvcnn_tf_tpu.serve import InferenceEngine
+
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, height=32, width=32, num_views=2,
+                                 batch_size=2),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+    )
+    eng = InferenceEngine(cfg, checkpoint_dir=None, serve_batch_size=4,
+                          buckets=[1, 2, 8])
+    assert eng.buckets == [1, 2, 4, 8]
+    assert eng.batch == 8
+    views = np.random.RandomState(0).rand(9, 2, 32, 32, 3).astype(np.float32)
+    out = eng.predict(views * 2 - 1)   # chunks: 8 (bucket 8) + 1 (bucket 1)
+    assert len(out) == 9
+    out3 = eng.predict(views[:3] * 2 - 1)  # bucket 4 with 1 pad row
+    assert len(out3) == 3
