@@ -105,3 +105,17 @@ def test_train_schedule_trace_fallback(tmp_path, monkeypatch):
     trace = json.load(open(path))
     evs = [e for e in trace["traceEvents"] if e["ph"] == "X"]
     assert len(evs) > 10  # the full train step schedule
+
+
+def test_cli_offline_hlo_in(tmp_path, capsys):
+    """--hlo-in profiles an existing scheduled-HLO dump (no compile)."""
+    from gvcnn_tf_tpu.tools.profile_step import main
+
+    src = tmp_path / "step.hlo"
+    src.write_text(FIXTURE)
+    trace = tmp_path / "trace.json"
+    main(["--hlo-in", str(src), "--trace", str(trace), "--top", "5"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["scheduled_ops"] == 4
+    assert out["layers_top"][0]["layer"] == "Mixed_3b"
+    assert trace.exists()
