@@ -30,6 +30,7 @@ import argparse
 import collections
 import io
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -82,8 +83,11 @@ class InferenceEngine:
         self._model = model
         self._lock = threading.Lock()
         # Rolling per-request device latency (seconds, shapes) for /stats
-        # and the per-request log (VERDICT r2 Next #6).
+        # and the per-request log (VERDICT r2 Next #6).  Guarded by its own
+        # small mutex so a /stats poll never waits on a full inference
+        # holding self._lock (ADVICE r3).
         self._latencies = collections.deque(maxlen=1024)
+        self._stats_lock = threading.Lock()
 
         def forward(variables, x):
             logits, ep = model.apply(variables, x, train=False)
@@ -186,8 +190,7 @@ class InferenceEngine:
                         rec["view_scores"] = scores[i].tolist()
                     results.append(rec)
             dt = time.perf_counter() - t_start
-            # Recorded while still holding the lock: /stats iterates this
-            # deque from other handler threads (code-review r3).
+        with self._stats_lock:
             self._latencies.append((dt, len(views)))
         metrics_lib.log(
             f"/predict shapes={len(views)} latency_ms={dt * 1e3:.2f}"
@@ -196,7 +199,7 @@ class InferenceEngine:
 
     def latency_stats(self) -> dict:
         """p50/p99 request latency over the last <=1024 requests."""
-        with self._lock:
+        with self._stats_lock:
             snapshot = list(self._latencies)
         lats = sorted(d for d, _ in snapshot)
         if not lats:
@@ -204,7 +207,11 @@ class InferenceEngine:
         shapes = sum(n for _, n in snapshot)
 
         def pct(p):
-            return lats[min(int(p / 100.0 * len(lats)), len(lats) - 1)]
+            # Nearest-rank: smallest value with cumulative frequency >= p%
+            # (the naive int(p/100*n) index is biased one rank high —
+            # with 2 samples it reports the max as p50; ADVICE r3).
+            return lats[min(max(math.ceil(p / 100.0 * len(lats)) - 1, 0),
+                            len(lats) - 1)]
 
         return {
             "count": len(lats),

@@ -55,17 +55,38 @@ def _bytes_of(shape_str: str) -> int:
 
 
 def collect(hlo: str):
-    """Optimized-HLO text -> list of collective ops with byte counts."""
+    """Optimized-HLO text -> list of collective ops with byte counts.
+
+    Matches both the sync forms and the async `-start` halves that XLA can
+    emit (`all-reduce-start`/`all-reduce-done`, ...); the `-done` half is
+    skipped so an async collective is counted exactly once (ADVICE r3).
+    """
     out = []
     for line in hlo.splitlines():
         m = re.match(
             r"\s*(?:ROOT )?%?([\w.\-]+) = "
             r"(\([^)]*\)|\S+?\[[^\]]*\]\S*) ([a-z\-]+)\(", line)
-        if not m or m.group(3) not in _COLLECTIVES:
+        if not m:
             continue
         name, shape, op = m.groups()
-        out.append({"op": op, "name": name, "shape": shape[:120],
-                    "bytes": _bytes_of(shape)})
+        if op.endswith("-done"):
+            continue
+        base = op[: -len("-start")] if op.endswith("-start") else op
+        if base not in _COLLECTIVES:
+            continue
+        if op.endswith("-start") and shape.startswith("("):
+            # The async-start tuple aliases operand and result (plus u32
+            # context scalars); summing it would double-count.  The largest
+            # element is the transferred buffer for every collective kind.
+            nbytes = max(
+                (_bytes_of(s) for s in re.findall(r"\w+\[[\d,]*\]", shape)),
+                default=0)
+        else:
+            # Sync variadic collectives (all-reduce(a, b, ...)) list each
+            # independent buffer once: summing the tuple is correct.
+            nbytes = _bytes_of(shape)
+        out.append({"op": base, "name": name, "shape": shape[:120],
+                    "bytes": nbytes})
     return out
 
 

@@ -466,118 +466,124 @@ def train(
     mets = {}
     want_schedule_trace = False
     start = int(state.step)
-    for step in range(start, num_steps):
-        if preempted.is_set():
-            # The epilogue below force-saves any unsaved step and closes
-            # the checkpointer; breaking here is the whole shutdown.
-            metrics_lib.log(
-                f"stopping at step {int(state.step)} for preemption; "
-                f"auto-resume will continue from the saved checkpoint")
-            break
-        # Optional profiler capture window (SURVEY.md section 5 tracing plan:
-        # jax.profiler -> Perfetto/TensorBoard trace under train_logdir).
-        # Skipped under the remote `axon` PJRT plugin, whose profiler hook
-        # hangs start_trace (verified empirically in this container).
-        if profile_steps is not None and step == profile_steps[0]:
-            import os as _os
-
-            if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
-                # The remote axon PJRT plugin hangs start_trace (verified);
-                # fall back to the compiler-schedule trace — per-instruction
-                # estimated_cycles timeline from the step's scheduled HLO
-                # (tools/profile_step.py), written after the next step.
+    # try/finally: restore the signal handlers even when the loop or
+    # epilogue raises (dataset error, OOM, compile failure) — otherwise a
+    # process that called train() as a library keeps a dead handler that
+    # silently swallows a later SIGTERM (ADVICE r3).
+    try:
+        for step in range(start, num_steps):
+            if preempted.is_set():
+                # The epilogue below force-saves any unsaved step and closes
+                # the checkpointer; breaking here is the whole shutdown.
                 metrics_lib.log(
-                    "jax.profiler unavailable under the remote axon "
-                    "platform; writing the compiler-schedule trace instead"
+                    f"stopping at step {int(state.step)} for preemption; "
+                    f"auto-resume will continue from the saved checkpoint")
+                break
+            # Optional profiler capture window (SURVEY.md section 5 tracing plan:
+            # jax.profiler -> Perfetto/TensorBoard trace under train_logdir).
+            # Skipped under the remote `axon` PJRT plugin, whose profiler hook
+            # hangs start_trace (verified empirically in this container).
+            if profile_steps is not None and step == profile_steps[0]:
+                import os as _os
+
+                if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+                    # The remote axon PJRT plugin hangs start_trace (verified);
+                    # fall back to the compiler-schedule trace — per-instruction
+                    # estimated_cycles timeline from the step's scheduled HLO
+                    # (tools/profile_step.py), written after the next step.
+                    metrics_lib.log(
+                        "jax.profiler unavailable under the remote axon "
+                        "platform; writing the compiler-schedule trace instead"
+                    )
+                    profile_steps = None
+                    want_schedule_trace = True
+                else:
+                    jax.profiler.start_trace(tc.train_logdir)
+            batch = next(it, None)
+            if batch is None:
+                metrics_lib.log("dataset exhausted")
+                break
+            state, mets = train_step(state, batch, loop_rng)
+            if want_schedule_trace:
+                want_schedule_trace = False
+                import json as _json
+                import os as _os
+
+                from gvcnn_tf_tpu.tools import profile_step as _ps
+
+                # train_step is either the jit wrapper or (multi-process) the
+                # AOT-compiled executable; both can produce the compiled text.
+                txt = (
+                    train_step.as_text()
+                    if not hasattr(train_step, "lower")
+                    else train_step.lower(state, batch, loop_rng)
+                    .compile().as_text()
                 )
-                profile_steps = None
-                want_schedule_trace = True
-            else:
-                jax.profiler.start_trace(tc.train_logdir)
-        batch = next(it, None)
-        if batch is None:
-            metrics_lib.log("dataset exhausted")
-            break
-        state, mets = train_step(state, batch, loop_rng)
-        if want_schedule_trace:
-            want_schedule_trace = False
-            import json as _json
-            import os as _os
+                path = _os.path.join(tc.train_logdir, "schedule_trace.json")
+                with open(path, "w") as f:
+                    _json.dump(_ps.chrome_trace(_ps.parse_entry(txt)), f)
+                metrics_lib.log(f"schedule trace written to {path}")
+            if profile_steps is not None and step + 1 == profile_steps[1]:
+                jax.block_until_ready(mets)
+                jax.profiler.stop_trace()
+                metrics_lib.log(f"profiler trace written to {tc.train_logdir}")
+            timer.tick()
+            if (step + 1) % tc.log_every == 0 or step + 1 == num_steps:
+                jax.block_until_ready(mets)
+                vals = {k: float(v) for k, v in mets.items()}
+                vals["steps_per_sec"] = timer.rate()
+                vals["shapes_per_sec"] = timer.rate() * config.data.batch_size
+                vals["lr"] = float(make_lr_schedule(tc)(step))
+                if steps_per_epoch > 0:
+                    vals["epoch"] = round((step + 1) / steps_per_epoch, 3)
+                try:
+                    # HBM observability on real TPU VMs; memory_stats() is None
+                    # under this container's tunneled plugin and on XLA:CPU.
+                    stats = jax.local_devices()[0].memory_stats()
+                    if stats and "bytes_in_use" in stats:
+                        vals["hbm_used_mb"] = round(
+                            stats["bytes_in_use"] / 1e6, 1)
+                except Exception:
+                    pass
+                writer.scalars(step + 1, vals)
+                timer.reset()
+            if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
+                ckpt.save(step + 1, _saveable(state))
+            # Periodic in-training validation (reference workflow runs eval.py
+            # as a separate process; --eval_every folds that loop in).  Single-
+            # process only: evaluate() streams a host-side split, which each
+            # process would duplicate under multi-controller.
+            if tc.eval_every > 0 and jax.process_count() > 1:
+                if step == start:
+                    metrics_lib.log(
+                        "eval_every is single-process only and is skipped on "
+                        "this multi-process run; use eval.py on a checkpoint"
+                    )
+            elif tc.eval_every > 0 and (step + 1) % tc.eval_every == 0:
+                from gvcnn_tf_tpu.eval import evaluate as _evaluate
 
-            from gvcnn_tf_tpu.tools import profile_step as _ps
-
-            # train_step is either the jit wrapper or (multi-process) the
-            # AOT-compiled executable; both can produce the compiled text.
-            txt = (
-                train_step.as_text()
-                if not hasattr(train_step, "lower")
-                else train_step.lower(state, batch, loop_rng)
-                .compile().as_text()
-            )
-            path = _os.path.join(tc.train_logdir, "schedule_trace.json")
-            with open(path, "w") as f:
-                _json.dump(_ps.chrome_trace(_ps.parse_entry(txt)), f)
-            metrics_lib.log(f"schedule trace written to {path}")
-        if profile_steps is not None and step + 1 == profile_steps[1]:
-            jax.block_until_ready(mets)
-            jax.profiler.stop_trace()
-            metrics_lib.log(f"profiler trace written to {tc.train_logdir}")
-        timer.tick()
-        if (step + 1) % tc.log_every == 0 or step + 1 == num_steps:
-            jax.block_until_ready(mets)
-            vals = {k: float(v) for k, v in mets.items()}
-            vals["steps_per_sec"] = timer.rate()
-            vals["shapes_per_sec"] = timer.rate() * config.data.batch_size
-            vals["lr"] = float(make_lr_schedule(tc)(step))
-            if steps_per_epoch > 0:
-                vals["epoch"] = round((step + 1) / steps_per_epoch, 3)
+                res = _evaluate(config, state=state)
+                writer.scalars(
+                    step + 1,
+                    {"val_accuracy": res["accuracy"], "val_count": res["count"]},
+                )
+                metrics_lib.log(
+                    f"step {step + 1} val accuracy {res['accuracy']:.4f} "
+                    f"({res['correct']}/{res['count']})"
+                )
+                timer.reset()  # don't bill eval wall time to steps/sec
+        if ckpt is not None:
+            if ckpt.latest_step() != int(state.step):
+                ckpt.save(int(state.step), _saveable(state), force=True)
+            ckpt.close()
+        writer.flush()
+        return state, mets
+    finally:
+        for sig, prev in prev_handlers.items():
             try:
-                # HBM observability on real TPU VMs; memory_stats() is None
-                # under this container's tunneled plugin and on XLA:CPU.
-                stats = jax.local_devices()[0].memory_stats()
-                if stats and "bytes_in_use" in stats:
-                    vals["hbm_used_mb"] = round(
-                        stats["bytes_in_use"] / 1e6, 1)
-            except Exception:
+                _signal.signal(sig, prev)
+            except (ValueError, OSError):
                 pass
-            writer.scalars(step + 1, vals)
-            timer.reset()
-        if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
-            ckpt.save(step + 1, _saveable(state))
-        # Periodic in-training validation (reference workflow runs eval.py
-        # as a separate process; --eval_every folds that loop in).  Single-
-        # process only: evaluate() streams a host-side split, which each
-        # process would duplicate under multi-controller.
-        if tc.eval_every > 0 and jax.process_count() > 1:
-            if step == start:
-                metrics_lib.log(
-                    "eval_every is single-process only and is skipped on "
-                    "this multi-process run; use eval.py on a checkpoint"
-                )
-        elif tc.eval_every > 0 and (step + 1) % tc.eval_every == 0:
-            from gvcnn_tf_tpu.eval import evaluate as _evaluate
-
-            res = _evaluate(config, state=state)
-            writer.scalars(
-                step + 1,
-                {"val_accuracy": res["accuracy"], "val_count": res["count"]},
-            )
-            metrics_lib.log(
-                f"step {step + 1} val accuracy {res['accuracy']:.4f} "
-                f"({res['correct']}/{res['count']})"
-            )
-            timer.reset()  # don't bill eval wall time to steps/sec
-    if ckpt is not None:
-        if ckpt.latest_step() != int(state.step):
-            ckpt.save(int(state.step), _saveable(state), force=True)
-        ckpt.close()
-    for sig, prev in prev_handlers.items():
-        try:
-            _signal.signal(sig, prev)
-        except (ValueError, OSError):
-            pass
-    writer.flush()
-    return state, mets
 
 
 def main(argv=None):
