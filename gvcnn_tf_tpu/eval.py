@@ -57,6 +57,117 @@ def _model_and_eval_step(config: GVCNNConfig, n_dev: int):
     return _EVAL_STEP_CACHE[key]
 
 
+def _local_model_and_step(config: GVCNNConfig):
+    """Shardingless jitted eval step for the multi-process path (cached).
+
+    Runs on each process's local device(s) only — no cross-host program, so
+    ragged split shards can't deadlock a collective."""
+    key = (config, "local")
+    cached = _EVAL_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from gvcnn_tf_tpu.models.gvcnn import build_model
+    from gvcnn_tf_tpu.utils import tpu_compiler_options
+
+    model = build_model(config)
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+    def eval_step(variables, views, labels):
+        logits, _ = model.apply(variables, views, train=False)
+        pred = jnp.argmax(logits.astype(jnp.float32), -1)
+        return (pred == labels).astype(jnp.int32), pred
+
+    _EVAL_STEP_CACHE[key] = (model, eval_step)
+    return _EVAL_STEP_CACHE[key]
+
+
+def _evaluate_multiprocess(config, *, state, per_class, fold_bn):
+    """Pod evaluation (VERDICT r3 Next #5): reuses the per-process input
+    sharding machinery — each process streams a DISJOINT shard of the val
+    split at global_batch/num_processes and scores it on its own devices;
+    the counts are summed across processes with one process_allgather, so
+    the result is global and identical on every controller.
+
+    Shard-local compute + a single final gather (instead of one global
+    sharded program) means unequal shard sizes can never deadlock: there is
+    no per-batch collective to keep in lockstep.
+    """
+    import dataclasses
+
+    from jax.experimental import multihost_utils
+
+    n_proc, pid = jax.process_count(), jax.process_index()
+    d = config.data
+    local_bs = max(d.batch_size // n_proc, 1)
+    dcfg = dataclasses.replace(d, batch_size=local_bs)
+    dataset_iter = make_dataset(
+        dcfg, train=False, seed=config.train.seed, num_epochs=1,
+        shard_index=pid, num_shards=n_proc,
+    )
+
+    model, eval_step = _local_model_and_step(config)
+    if state is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        _, init_vars = init_model(config, jax.random.key(config.train.seed))
+        target = {
+            "params": init_vars["params"],
+            "batch_stats": init_vars.get("batch_stats", {}),
+        }
+        ckpt_dir = config.train.train_logdir
+        variables = Checkpointer(ckpt_dir).restore_partial(target)
+    if fold_bn:
+        from gvcnn_tf_tpu.utils import fold_batch_norm
+
+        variables = fold_batch_norm(variables)
+
+    def local_view(x):
+        # Train state under GSPMD is replicated global jax.Arrays; the local
+        # replica shard is a plain device array this process can compute on.
+        return x.addressable_data(0) if isinstance(x, jax.Array) else x
+
+    variables = jax.tree.map(local_view, variables)
+
+    ncls = config.data.num_classes
+    n_correct = n_total = 0
+    cls_counts = np.zeros((ncls, 2), np.int64)  # [correct, total] per class
+    with jax.default_device(jax.local_devices()[0]):
+        for batch in dataset_iter:
+            views = np.asarray(batch["views"])
+            labels = np.asarray(batch["label"])
+            n = len(labels)
+            if n != local_bs:  # pad the ragged tail to the one compiled shape
+                views = np.concatenate(
+                    [views,
+                     np.zeros((local_bs - n,) + views.shape[1:], views.dtype)])
+                labels = np.concatenate(
+                    [labels, np.zeros(local_bs - n, labels.dtype)])
+            correct_d, _ = eval_step(variables, views, labels)
+            correct = np.asarray(correct_d)[:n]
+            n_correct += int(correct.sum())
+            n_total += n
+            if per_class:
+                np.add.at(cls_counts[:, 0], labels[:n], correct)
+                np.add.at(cls_counts[:, 1], labels[:n], 1)
+    # One collective over all processes: stack each process's counts and sum.
+    gathered = multihost_utils.process_allgather(
+        np.concatenate([np.array([n_correct, n_total], np.int64),
+                        cls_counts.reshape(-1)]))
+    totals = np.asarray(gathered).reshape(n_proc, -1).sum(axis=0)
+    g_correct, g_total = int(totals[0]), int(totals[1])
+    result = {
+        "accuracy": g_correct / max(g_total, 1),
+        "correct": g_correct,
+        "count": g_total,
+    }
+    if per_class:
+        g_cls = totals[2:].reshape(ncls, 2)
+        result["per_class_accuracy"] = (
+            g_cls[:, 0] / np.maximum(g_cls[:, 1], 1)
+        ).tolist()
+    return result
+
+
 def evaluate(
     config: GVCNNConfig,
     checkpoint_dir: Optional[str] = None,
@@ -75,6 +186,13 @@ def evaluate(
     from gvcnn_tf_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
+    if jax.process_count() > 1:
+        if dataset_iter is not None:
+            raise ValueError(
+                "dataset_iter injection is single-process only; on a pod "
+                "each process streams its own split shard")
+        return _evaluate_multiprocess(
+            config, state=state, per_class=per_class, fold_bn=fold_bn)
     n_dev = config.num_devices or len(jax.devices())
     # Shard evaluation over the data mesh when configured (config 5 parity:
     # sharded input over ICI applies to the eval stream too).  On a 1-device

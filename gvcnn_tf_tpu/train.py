@@ -550,16 +550,11 @@ def train(
             if ckpt is not None and (step + 1) % tc.checkpoint_every == 0:
                 ckpt.save(step + 1, _saveable(state))
             # Periodic in-training validation (reference workflow runs eval.py
-            # as a separate process; --eval_every folds that loop in).  Single-
-            # process only: evaluate() streams a host-side split, which each
-            # process would duplicate under multi-controller.
-            if tc.eval_every > 0 and jax.process_count() > 1:
-                if step == start:
-                    metrics_lib.log(
-                        "eval_every is single-process only and is skipped on "
-                        "this multi-process run; use eval.py on a checkpoint"
-                    )
-            elif tc.eval_every > 0 and (step + 1) % tc.eval_every == 0:
+            # as a separate process; --eval_every folds that loop in).  Multi-
+            # process runs use the shard-local path in eval.py: every process
+            # scores its own split shard and the counts are psum'd, so the
+            # logged val_accuracy is the global number (VERDICT r3 Next #5).
+            if tc.eval_every > 0 and (step + 1) % tc.eval_every == 0:
                 from gvcnn_tf_tpu.eval import evaluate as _evaluate
 
                 res = _evaluate(config, state=state)

@@ -55,17 +55,24 @@ cfg = cfg.replace(
     ),
     train=dataclasses.replace(
         cfg.train, num_steps=2, log_every=1, checkpoint_every=0,
-        train_logdir=logdir,
+        train_logdir=logdir, eval_every=2,
     ),
     compute_dtype="float32",
     use_pallas_grouping=False,
     num_devices=8,
 )
+# eval_every=2 exercises the in-train multi-process periodic eval
+# (VERDICT r3 Next #5): each process scores its own val-split shard and
+# the counts are combined with a process_allgather.
 state, mets = train(cfg)
 loss = float(mets["loss"])
 assert np.isfinite(loss), loss
 assert int(state.step) == 2
+from gvcnn_tf_tpu.eval import evaluate
+res = evaluate(cfg, state=state)
+assert res["count"] > 0, res
 print(f"MP_OK {pid} {loss:.6f}", flush=True)
+print(f"MP_EVAL {pid} {res['accuracy']:.6f} {res['count']}", flush=True)
 '''
 
 
@@ -109,3 +116,13 @@ def test_two_process_cpu_train(tmp_path):
     assert set(losses) == {0, 1}, outs
     # GSPMD loss is global — both controllers must report the same value.
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+    # The multi-process eval result is global (psum'd counts): identical
+    # accuracy AND identical total count on both controllers.
+    evals = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_EVAL"):
+                _, pid, acc, count = line.split()
+                evals[int(pid)] = (float(acc), int(count))
+    assert set(evals) == {0, 1}, outs
+    assert evals[0] == evals[1], evals
