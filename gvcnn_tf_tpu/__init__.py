@@ -23,6 +23,24 @@ while `python -m gvcnn_tf_tpu.train` still runs the module CLI.
 
 __version__ = "0.1.0"
 
+# Honor an explicit CPU request (JAX_PLATFORM_NAME=cpu / JAX_PLATFORMS=cpu)
+# through jax.config, which wins over plugin auto-registration.  This
+# environment's sitecustomize force-registers a remote TPU platform whose
+# discovery BLOCKS when the device tunnel is unreachable — with only the
+# env var set, even CPU-only runs hang at backend init.  jax.config's
+# explicit platform list skips initializing the remote plugin entirely.
+import os as _os
+
+_plat = (_os.environ.get("JAX_PLATFORM_NAME")
+         or _os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+if _plat == "cpu":
+    import jax as _jax
+
+    try:  # no-op if a backend is already initialized
+        _jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
 from gvcnn_tf_tpu.configs import (  # noqa: F401
     GVCNNConfig,
     DataConfig,

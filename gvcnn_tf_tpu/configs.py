@@ -150,6 +150,12 @@ class GVCNNConfig:
     # Rematerialize backbone activations in the backward pass
     # (jax.checkpoint): trades recompute FLOPs for HBM bandwidth/footprint.
     remat_backbone: bool = False
+    # SELECTIVE remat: endpoint name through which the tower prefix is
+    # rematerialized (e.g. "MaxPool_3a_3x3" recomputes the stem..pool3a
+    # activations — the largest HBM tenants at batch 384 — in the backward
+    # pass instead of saving them).  "" = off.  Independent of
+    # remat_backbone, which checkpoints the WHOLE backbone.
+    remat_until: str = ""
     # Run the 7x7/2 stem as a 4x4/1 conv on space-to-depth(2) input (exact
     # transform, identical params/checkpoints — the MLPerf ResNet TPU
     # trick; see models/backbones/inception_v1.py::SpaceToDepthStem).
@@ -323,6 +329,10 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    choices=["none", "1x1", "full"],
                    help="merge Mixed-block branch convs into wider convs "
                         "(exact; TPU MXU-occupancy optimization)")
+    p.add_argument("--remat_until", default=None,
+                   help="selectively rematerialize the backbone prefix "
+                        "through this endpoint (e.g. MaxPool_3a_3x3) in "
+                        "the backward pass; '' = off")
     return p
 
 
@@ -342,6 +352,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("bn_momentum", top_kw), ("group_weight", top_kw),
         ("score_squash", top_kw), ("stem_space_to_depth", top_kw),
         ("stem_pallas", top_kw), ("merge_inception_branches", top_kw),
+        ("remat_until", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

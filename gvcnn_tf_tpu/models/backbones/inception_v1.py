@@ -378,6 +378,15 @@ class InceptionV1Base(nn.Module):
     # ops/pallas_stem.py for why XLA's lowering of this op is the model's
     # single worst-performing layer).
     stem_pallas: bool = False
+    # SELECTIVE remat: when set to an endpoint name, the tower prefix
+    # through that endpoint (inclusive) runs under jax.checkpoint — the
+    # backward pass recomputes the large-spatial early activations (stem
+    # output is 112^2 x 64, ~617 MB bf16 at batch 384) from the input
+    # instead of keeping them in HBM.  "" = off.  Whole-backbone remat is
+    # the GVCNN-level remat_backbone knob (measured 19% slower, r3);
+    # this targets ONLY the layers whose saved activations dominate the
+    # backward-pass HBM traffic (VERDICT r3 Next #1).
+    remat_until: str = ""
 
     # Class-level metadata for the registry / GVCNN assembly.
     DEFAULT_RAW_ENDPOINT = "Mixed_3c"
@@ -387,26 +396,10 @@ class InceptionV1Base(nn.Module):
     ENDPOINTS = ENDPOINTS
     ENDPOINT_CHANNELS = ENDPOINT_CHANNELS
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        if self.final_endpoint not in ENDPOINTS:
-            raise ValueError(f"unknown endpoint {self.final_endpoint!r}")
-        if self.start_endpoint:
-            if self.start_endpoint not in ENDPOINTS:
-                raise ValueError(f"unknown endpoint {self.start_endpoint!r}")
-            if (ENDPOINTS.index(self.start_endpoint)
-                    >= ENDPOINTS.index(self.final_endpoint)):
-                raise ValueError(
-                    f"start_endpoint {self.start_endpoint!r} must precede "
-                    f"final_endpoint {self.final_endpoint!r}")
-        x = x.astype(self.dtype)
+    def _run_plan(self, x, plan, train: bool = False):
+        """Run a contiguous slice of the layer plan; -> (x, endpoints)."""
         endpoints: Dict[str, jnp.ndarray] = {}
-        skipping = bool(self.start_endpoint)
-        for name, spec in _V1_PLAN:
-            if skipping:
-                if name == self.start_endpoint:
-                    skipping = False
-                continue
+        for name, spec in plan:
             kind = spec[0]
             if kind == "conv":
                 _, feats, kernel, stride = spec
@@ -436,6 +429,42 @@ class InceptionV1Base(nn.Module):
                                    merge_branches=self.merge_branches,
                                    name=name)(x, train)
             endpoints[name] = x
-            if name == self.final_endpoint:
-                return x, endpoints
-        return x, endpoints  # unreachable given the check above
+        return x, endpoints
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.final_endpoint not in ENDPOINTS:
+            raise ValueError(f"unknown endpoint {self.final_endpoint!r}")
+        if self.start_endpoint:
+            if self.start_endpoint not in ENDPOINTS:
+                raise ValueError(f"unknown endpoint {self.start_endpoint!r}")
+            if (ENDPOINTS.index(self.start_endpoint)
+                    >= ENDPOINTS.index(self.final_endpoint)):
+                raise ValueError(
+                    f"start_endpoint {self.start_endpoint!r} must precede "
+                    f"final_endpoint {self.final_endpoint!r}")
+        x = x.astype(self.dtype)
+        i0 = (ENDPOINTS.index(self.start_endpoint) + 1
+              if self.start_endpoint else 0)
+        i1 = ENDPOINTS.index(self.final_endpoint) + 1
+        plan = _V1_PLAN[i0:i1]
+        if not self.remat_until:
+            return self._run_plan(x, plan, train)
+        # Selective remat: checkpoint the [start..remat_until] prefix as one
+        # jax.checkpoint region — its internals (the large-spatial early
+        # activations) are recomputed in the backward pass; only the prefix
+        # input and the boundary activation are saved.  The prefix's
+        # endpoints remain remat OUTPUTS, so anything that actually reads
+        # one (e.g. a raw_endpoint tap inside the prefix) stays saved and
+        # unused ones are DCE'd.
+        names = [n for n, _ in plan]
+        if self.remat_until not in names:
+            raise ValueError(
+                f"remat_until {self.remat_until!r} not in the active plan "
+                f"{names}")
+        k = names.index(self.remat_until) + 1
+        seg = nn.remat(InceptionV1Base._run_plan, static_argnums=(2, 3))
+        x, endpoints = seg(self, x, plan[:k], train)
+        x, rest = self._run_plan(x, plan[k:], train)
+        endpoints.update(rest)
+        return x, endpoints

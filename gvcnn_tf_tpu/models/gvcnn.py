@@ -54,6 +54,8 @@ def _backbone_kwargs(cfg: GVCNNConfig, backbone_cls) -> dict:
     if (cfg.stem_pallas and "stem_pallas" in fields
             and jax.default_backend() == "tpu"):
         kw["stem_pallas"] = True
+    if cfg.remat_until and "remat_until" in fields:
+        kw["remat_until"] = cfg.remat_until
     return kw
 
 

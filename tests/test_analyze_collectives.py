@@ -59,3 +59,23 @@ def test_sharded_step_is_pure_dp():
     assert 15e6 < total < 40e6, total
     top = max(o["bytes"] for o in ops)
     assert top / total > 0.8, (top, total)
+
+
+@pytest.mark.slow
+def test_flagship_shape_partition_compiles_pure_dp():
+    """VERDICT r3 Next #6: the FLAGSHIP operating point (B=32 shapes x 12
+    views, 224x224) must 8-way partition with the SAME communication
+    contract as the tiny-shape audit — all-reduce only, one coalesced
+    gradient all-reduce carrying >=80% of the bytes.  Guards against
+    shape-dependent GSPMD surprises (padding, uneven sharding) that the
+    byte-equivalent tiny compile cannot see."""
+    from gvcnn_tf_tpu.tools.analyze_collectives import (collect,
+                                                        sharded_step_hlo)
+
+    ops = collect(sharded_step_hlo(8, full_shapes=True))
+    kinds = {o["op"] for o in ops}
+    assert kinds == {"all-reduce"}, kinds
+    total = sum(o["bytes"] for o in ops)
+    assert 15e6 < total < 40e6, total
+    top = max(o["bytes"] for o in ops)
+    assert top / total > 0.8, (top, total)

@@ -108,3 +108,63 @@ def test_batchnorm_stats_update_in_train_mode():
         not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
     )
     assert changed
+
+
+# ---------------------------------------------------------------------------
+# Selective remat (remat_until): the prefix through the named endpoint runs
+# under jax.checkpoint — math, params, and endpoints must be IDENTICAL to
+# the plain tower; only the backward-pass memory schedule changes.
+# ---------------------------------------------------------------------------
+
+
+def _loss_fn(model, variables, x):
+    feats, _ = model.apply(variables, x, train=False)
+    return jnp.sum(feats ** 2)
+
+
+def test_remat_until_exact_forward_backward(v1_small):
+    base_model, variables = v1_small
+    remat_model = InceptionV1Base(remat_until="MaxPool_3a_3x3")
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(2, 64, 64, 3), jnp.float32
+    )
+
+    # Param trees identical: remat must not rename/move any module.
+    remat_vars = jinit(remat_model, x)
+    assert jax.tree.structure(remat_vars) == jax.tree.structure(variables)
+
+    f_base = jax.jit(functools.partial(base_model.apply, train=False))
+    f_remat = jax.jit(functools.partial(remat_model.apply, train=False))
+    feats_b, eps_b = f_base(variables, x)
+    feats_r, eps_r = f_remat(variables, x)
+    np.testing.assert_array_equal(np.asarray(feats_b), np.asarray(feats_r))
+    assert list(eps_b) == list(eps_r)
+    for k in eps_b:
+        np.testing.assert_array_equal(np.asarray(eps_b[k]),
+                                      np.asarray(eps_r[k]))
+
+    g_base = jax.jit(jax.grad(functools.partial(_loss_fn, base_model)))(
+        variables, x)
+    g_remat = jax.jit(jax.grad(functools.partial(_loss_fn, remat_model)))(
+        variables, x)
+    for pb, pr in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pr),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_remat_until_respects_truncation_and_validates():
+    # remat boundary inside a truncated [start..final] slice works...
+    model = InceptionV1Base(final_endpoint="Mixed_3b",
+                            remat_until="Conv2d_2c_3x3")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jinit(model, x)
+    feats, eps = jax.jit(functools.partial(model.apply, train=False))(
+        variables, x)
+    assert feats.shape[-1] == ENDPOINT_CHANNELS["Mixed_3b"]
+    # ...and a boundary OUTSIDE the active slice is a loud error.
+    bad = InceptionV1Base(final_endpoint="Conv2d_2b_1x1",
+                          remat_until="Mixed_4b")
+    with pytest.raises(ValueError, match="remat_until"):
+        jax.eval_shape(
+            functools.partial(bad.init, train=False),
+            {"params": jax.random.key(0)}, x)
