@@ -156,18 +156,30 @@ def main():
     # reference predict.py's actual usage shape) and at the serve.py padded
     # batch (8), BN-folded (serving default) vs unfolded.  Each call is
     # synced individually — that IS the serving latency through this stack.
-    def _latency(fn, v, x, iters):
-        out = fn(v, x)
-        float(jax.device_get(out[0, 0]))
-        ts = []
+    def _latency(fn, v, x, iters, warmup=5):
+        # Warm past compile AND the first executions (r3's folded-path p99
+        # was 2.4x p50 with a single warmup call — tail diagnosis needs the
+        # warmup excluded and the tail shape visible, VERDICT r3 Next #3).
+        for _ in range(max(warmup, 1)):
+            out = fn(v, x)
+            float(jax.device_get(out[0, 0]))
+        raw = []
         for _ in range(iters):
             t0 = time.perf_counter()
             out = fn(v, x)
             float(jax.device_get(out[0, 0]))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return (ts[len(ts) // 2] * 1e3,
-                ts[min(int(0.99 * len(ts)), len(ts) - 1)] * 1e3)
+            raw.append(time.perf_counter() - t0)
+        ts = sorted(raw)
+
+        def pct(p):
+            return ts[min(int(p / 100 * len(ts)), len(ts) - 1)] * 1e3
+
+        return (pct(50), pct(99),
+                {"p90_ms": round(pct(90), 2),
+                 "max_ms": round(ts[-1] * 1e3, 2),
+                 # where in the window the max landed (0 = right after
+                 # warmup => leakage; elsewhere => sporadic stall)
+                 "max_idx": int(np.argmax(raw))})
 
     serving_latency = {}
     try:
@@ -179,16 +191,38 @@ def main():
         # device latency can be read as p50 - floor.
         null = jax.jit(lambda v, x: x * 1.0)
         xs1 = jnp.zeros((1, 1), jnp.float32)
-        p50f, _ = _latency(null, xs1, xs1, lat_iters)
+        p50f, _, _ = _latency(null, xs1, xs1, lat_iters)
         serving_latency["dispatch_floor_p50_ms"] = round(p50f, 2)
         for nb in (1, 8):
             xs = views[:1].repeat(nb, axis=0) if nb > 1 else views[:1]
             for tag, v in (("folded", variables), ("unfolded", unfolded)):
-                p50, p99 = _latency(fwd, v, xs, lat_iters)
+                p50, p99, tail = _latency(fwd, v, xs, lat_iters)
                 serving_latency[f"b{nb}_{tag}_p50_ms"] = round(p50, 2)
                 serving_latency[f"b{nb}_{tag}_p99_ms"] = round(p99, 2)
+                serving_latency[f"b{nb}_{tag}_tail"] = tail
     except Exception as e:  # keep the headline metric; don't hide the loss
         serving_latency["error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Serving under concurrency (VERDICT r3 Next #8): 4 closed-loop clients
+    # mixing B=1 and B=8 requests against the real bucketed engine — the
+    # device lock means request latency now includes queueing behind other
+    # clients, which the single-client rows above cannot see.
+    if on_tpu:
+        try:
+            from gvcnn_tf_tpu.serve import InferenceEngine
+            from gvcnn_tf_tpu.tools.loadgen import run_load
+
+            eng = InferenceEngine(cfg, state=state, serve_batch_size=8)
+            rep = run_load(eng, num_clients=4, duration_s=8.0,
+                           request_sizes=(1, 8), warmup_s=1.0)
+            for k in ("p50_ms", "p99_ms", "b1_p50_ms", "b1_p99_ms",
+                      "b8_p50_ms", "b8_p99_ms", "requests",
+                      "shapes_per_sec", "views_per_sec"):
+                if k in rep:
+                    serving_latency[f"concurrent4_{k}"] = rep[k]
+        except Exception as e:
+            serving_latency["concurrent4_error"] = (
+                f"{type(e).__name__}: {e}"[:200])
 
     # Backbone-only train FLOPs (the conv tower is ~95% of model FLOPs,
     # SURVEY.md section 3.4): attainment computed against these is the
