@@ -37,7 +37,7 @@ def _config(model: str, a, seed: int = 0) -> "GVCNNConfig":
         data=dataclasses.replace(
             cfg.data,
             dataset="procedural_hard" if a.hard else "procedural",
-            num_classes=10,
+            num_classes=a.num_classes,
             num_views=a.num_views,
             height=a.height,
             width=a.width,
@@ -101,6 +101,9 @@ def run_one(model: str, a, seed: int = 0) -> dict:
 def main(argv=None):
     p = argparse.ArgumentParser(description="GVCNN vs MVCNN accuracy run")
     p.add_argument("--num_views", type=int, default=8)
+    p.add_argument("--num_classes", type=int, default=10,
+                   help="10 (original ModelNet10-like set) or 40 (flagship "
+                        "dress-rehearsal set, VERDICT r3 Next #2)")
     p.add_argument("--height", type=int, default=112)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--batch", type=int, default=16)
