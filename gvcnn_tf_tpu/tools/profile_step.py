@@ -39,6 +39,33 @@ import re
 
 # v5e TensorCore clock; cycles -> wall time conversion for the estimates.
 CLOCK_HZ = 0.94e9
+# v5e HBM bandwidth — converts activation-save bytes to HBM-time.
+HBM_BPS = 819e9
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+
+def shape_bytes(shape: str) -> int:
+    """Logical bytes of an HLO shape string (tuples sum their leaves).
+
+    ``bf16[384,28,28,96]{3,2,1,0:T(8,128)(2,1)}`` -> 384*28*28*96*2.
+    Layout/tiling annotations are ignored (logical, not padded, bytes —
+    a lower bound on the HBM footprint).
+    """
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape):
+        if dt not in _DTYPE_BYTES:
+            continue  # token[] etc.
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
 
 _LINE = re.compile(
     r"\s*(?:ROOT )?%([\w.\-]+) = "
@@ -74,10 +101,15 @@ def parse_entry(hlo: str):
         name, shape, op = m.groups()
         c = _CYCLES.search(line)
         o = _OPNAME.search(line)
+        # Operand names: the argument list runs from the op's opening paren
+        # to the first closing paren (attributes like window=/metadata=
+        # follow it).
+        args = line[m.end():].split(")", 1)[0]
         rows.append({
             "name": name, "op": op, "shape": shape,
             "cycles": int(c.group(1)) if c else 0,
             "op_name": o.group(1) if o else "",
+            "operands": re.findall(r"%([\w.\-]+)", args),
         })
     return rows
 
@@ -122,6 +154,112 @@ def aggregate(rows):
         })
     out.sort(key=lambda r: -r["cycles"])
     return out, total
+
+
+_DATA_MOVE_OPS = frozenset(
+    {"copy", "bitcast", "convert", "transpose", "reshape", "slice",
+     "dynamic-slice", "dynamic-update-slice", "concatenate", "pad",
+     "copy-start", "copy-done"})
+_COLLECTIVE_OPS = frozenset(
+    {"all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+     "collective-permute", "all-reduce-start", "all-gather-start",
+     "reduce-scatter-start"})
+
+
+def residual_decomposition(rows):
+    """Classify the scheduled step's estimated cycles into the buckets the
+    marginal per-layer A/B attribution cannot see (VERDICT r3 Next #1).
+
+    The marginal sum (tools/bench_layers.py) only captures costs that
+    DISAPPEAR when a layer is ablated; shared costs — optimizer update,
+    loss/head glue, input conversion, boundary copies — survive every
+    ablation and show up as the whole-tower-minus-marginal-sum residual.
+    This decomposes that residual from the schedule's own cost model:
+
+      * layer_fwd / layer_bwd — ops owned by a nameable model layer (the
+        part the marginal sum CAN attribute);
+      * optimizer_tail — ops scheduled after the last backward op (the
+        optax update + param/BN-stat writes);
+      * data_movement — no-layer copy/convert/reshape-family ops
+        (boundary handoffs);
+      * collectives — gradient all-reduce etc.;
+      * shared_other — remaining no-layer ops (loss, label one-hot,
+        input normalization, RNG...), split fwd-side vs bwd-side.
+
+    Additionally reports the fwd->bwd ACTIVATION-SAVE traffic implied by
+    def-use edges that cross from a forward-phase producer to a
+    backward-phase consumer: those tensors must round-trip HBM (store on
+    the fwd pass, re-read on the bwd pass), which per-op marginal deltas
+    under-attribute.  Bytes are logical (lower bound); ms is at the v5e
+    HBM bandwidth for the store+load round trip.
+    """
+    last_bwd = max(
+        (i for i, r in enumerate(rows)
+         if classify(r["op_name"])[1] == "bwd"),
+        default=-1,
+    )
+    buckets = collections.defaultdict(int)
+    phase_of = {}
+    for i, r in enumerate(rows):
+        layer, phase = classify(r["op_name"])
+        phase_of[r["name"]] = phase
+        owned = not layer.startswith("(")
+        if owned and phase in ("fwd", "bwd"):
+            buckets[f"layer_{phase}"] += r["cycles"]
+        elif r["op"] in _COLLECTIVE_OPS:
+            buckets["collectives"] += r["cycles"]
+        elif i > last_bwd >= 0:
+            buckets["optimizer_tail"] += r["cycles"]
+        elif r["op"] in _DATA_MOVE_OPS:
+            buckets["data_movement"] += r["cycles"]
+        elif owned:
+            buckets["layer_other_phase"] += r["cycles"]
+        else:
+            buckets[f"shared_other_{phase}"] += r["cycles"]
+
+    # fwd->bwd crossing edges: dedup per producer (one store, N reads — we
+    # charge one store + one read as the round-trip lower bound).
+    by_name = {r["name"]: r for r in rows}
+    saved_bytes = 0
+    saved_tensors = []
+    seen = set()
+    for r in rows:
+        if phase_of.get(r["name"]) != "bwd":
+            continue
+        for operand in r["operands"]:
+            p = by_name.get(operand)
+            if p is None or operand in seen:
+                continue
+            if phase_of.get(operand) == "fwd":
+                seen.add(operand)
+                b = shape_bytes(p["shape"])
+                saved_bytes += b
+                saved_tensors.append(
+                    (b, classify(p["op_name"])[0], operand))
+    saved_tensors.sort(reverse=True)
+    total = sum(r["cycles"] for r in rows)
+
+    def ms(c):
+        return round(c / CLOCK_HZ * 1e3, 3)
+
+    return {
+        "total_est_ms": ms(total),
+        "buckets_ms": {k: ms(v) for k, v in
+                       sorted(buckets.items(), key=lambda kv: -kv[1])},
+        "shared_est_ms": ms(total - buckets["layer_fwd"]
+                            - buckets["layer_bwd"]),
+        "activation_save": {
+            "tensors": len(saved_tensors),
+            "bytes": saved_bytes,
+            "mb": round(saved_bytes / 2**20, 1),
+            # store (fwd) + load (bwd) at HBM bandwidth
+            "roundtrip_ms": round(2 * saved_bytes / HBM_BPS * 1e3, 3),
+            "top": [
+                {"mb": round(b / 2**20, 1), "layer": layer, "name": n}
+                for b, layer, n in saved_tensors[:12]
+            ],
+        },
+    }
 
 
 def chrome_trace(rows):
@@ -207,6 +345,10 @@ def main(argv=None):
     p.add_argument("--hlo-in", default=None,
                    help="profile an existing scheduled-HLO text file "
                         "instead of compiling (offline mode)")
+    p.add_argument("--residual", action="store_true",
+                   help="also print the shared-cost decomposition "
+                        "(optimizer/copies/loss buckets + fwd->bwd "
+                        "activation-save bytes)")
     args = p.parse_args(argv)
 
     if args.hlo_in:
@@ -219,14 +361,17 @@ def main(argv=None):
     if args.trace:
         with open(args.trace, "w") as f:
             json.dump(chrome_trace(rows), f)
-    print(json.dumps({
+    out = {
         "mode": args.mode,
         "scheduled_ops": len(rows),
         "total_estimated_cycles": total,
         "estimated_step_ms": round(total / CLOCK_HZ * 1e3, 2),
         "layers_top": layers[: args.top],
         "trace": args.trace,
-    }, indent=1))
+    }
+    if args.residual:
+        out["residual"] = residual_decomposition(rows)
+    print(json.dumps(out, indent=1))
     return layers
 
 

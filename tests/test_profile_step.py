@@ -7,8 +7,10 @@ plus a fused subcomputation BEFORE the entry that must be ignored.
 
 import json
 
-from gvcnn_tf_tpu.tools.profile_step import (CLOCK_HZ, aggregate,
-                                             chrome_trace, parse_entry)
+from gvcnn_tf_tpu.tools.profile_step import (CLOCK_HZ, HBM_BPS, aggregate,
+                                             chrome_trace, parse_entry,
+                                             residual_decomposition,
+                                             shape_bytes)
 
 FIXTURE = """\
 HloModule jit_train_step, is_scheduled=true
@@ -72,6 +74,81 @@ def test_chrome_trace_roundtrip(tmp_path):
     tids = {e["tid"] for e in evs}
     assert len(tids) >= 2
     (tmp_path / "t.json").write_text(s)
+
+
+RESIDUAL_FIXTURE = """\
+HloModule jit_train_step, is_scheduled=true
+
+ENTRY %main.42 (p0: f32[2,2]) -> f32[2,2] {
+  %cvt.0 = bf16[8,4,4,3]{3,2,1,0} convert(%p0), metadata={op_name="jit(train_step)/convert_element_type"}, backend_config={"estimated_cycles":"1000"}
+  %conv.1 = bf16[8,4,4,16]{3,2,1,0} convolution(%cvt.0, %w0), metadata={op_name="jit(train_step)/jvp(GVCNN)/GoogLeNet/Mixed_3b/Branch_1/Conv2d_0a_1x1/conv"}, backend_config={"estimated_cycles":"940000"}
+  %loss.1 = f32[] fusion(%conv.1), kind=kLoop, metadata={op_name="jit(train_step)/softmax_cross_entropy/mean"}, backend_config={"estimated_cycles":"5000"}
+  %gconv.1 = bf16[8,4,4,16]{3,2,1,0} fusion(%conv.1, %loss.1), kind=kOutput, metadata={op_name="jit(train_step)/transpose(jvp(GVCNN))/GoogLeNet/Mixed_3b/Branch_1/Conv2d_0a_1x1/conv_t"}, backend_config={"estimated_cycles":"470000"}
+  %cp.1 = bf16[8,4,4,16]{3,2,1,0} copy(%gconv.1), metadata={op_name="jit(train_step)/copy"}, backend_config={"estimated_cycles":"2000"}
+  %ar.1 = bf16[8,4,4,16]{3,2,1,0} all-reduce(%cp.1), metadata={op_name="jit(train_step)/psum"}, backend_config={"estimated_cycles":"3000"}
+  ROOT %opt.1 = (f32[16]{0}, f32[16]{0}) fusion(%ar.1), kind=kLoop, metadata={op_name="jit(train_step)/add"}, backend_config={"estimated_cycles":"9400"}
+}
+"""
+
+
+def test_shape_bytes():
+    assert shape_bytes("bf16[384,28,28,96]{3,2,1,0:T(8,128)(2,1)}") == \
+        384 * 28 * 28 * 96 * 2
+    assert shape_bytes("f32[]") == 0 or shape_bytes("f32[]") == 4
+    # tuples sum their leaves
+    assert shape_bytes("(f32[64]{0}, bf16[8]{0})") == 64 * 4 + 8 * 2
+    assert shape_bytes("f32[2,3]") == 24
+
+
+def test_residual_decomposition_buckets():
+    rows = parse_entry(RESIDUAL_FIXTURE)
+    d = residual_decomposition(rows)
+    b = d["buckets_ms"]
+
+    def ms(c):
+        return round(c / CLOCK_HZ * 1e3, 3)
+
+    assert b["layer_fwd"] == ms(940000)
+    assert b["layer_bwd"] == ms(470000)
+    # copy + all-reduce + root update are all AFTER the last bwd op ->
+    # collectives keep their own bucket, the rest is optimizer tail.
+    assert b["collectives"] == ms(3000)
+    assert b["optimizer_tail"] == ms(2000 + 9400)
+    # input convert is a no-layer data-movement op before the bwd pass
+    assert b["data_movement"] == ms(1000)
+    # loss glue: no layer, no phase marker -> shared other
+    assert b["shared_other_other"] == ms(5000)
+    assert d["shared_est_ms"] == ms(1000 + 5000 + 2000 + 3000 + 9400)
+
+
+def test_residual_activation_saves():
+    rows = parse_entry(RESIDUAL_FIXTURE)
+    d = residual_decomposition(rows)["activation_save"]
+    # conv.1 (fwd) is consumed by gconv.1 (bwd): one saved tensor.
+    assert d["tensors"] == 1
+    expected = 8 * 4 * 4 * 16 * 2
+    assert d["bytes"] == expected
+    assert d["top"][0]["layer"] == "Mixed_3b"
+    assert abs(d["roundtrip_ms"] - round(2 * expected / HBM_BPS * 1e3, 3)) \
+        < 1e-9
+
+
+def test_operand_parsing():
+    rows = parse_entry(RESIDUAL_FIXTURE)
+    by = {r["name"]: r for r in rows}
+    assert by["gconv.1"]["operands"] == ["conv.1", "loss.1"]
+    assert by["cvt.0"]["operands"] == ["p0"]
+
+
+def test_cli_residual_flag(tmp_path, capsys):
+    from gvcnn_tf_tpu.tools.profile_step import main
+
+    src = tmp_path / "step.hlo"
+    src.write_text(RESIDUAL_FIXTURE)
+    main(["--hlo-in", str(src), "--residual"])
+    out = json.loads(capsys.readouterr().out)
+    assert "residual" in out
+    assert out["residual"]["activation_save"]["tensors"] == 1
 
 
 def test_train_schedule_trace_fallback(tmp_path, monkeypatch):
