@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from gvcnn_tf_tpu.data.procedural import CLASSES
+from gvcnn_tf_tpu.data.procedural import class_table
 
 
 def write_off(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
@@ -35,9 +35,9 @@ def write_off(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
 
 
 def generate(output_dir: str, per_class: int, test_per_class: int,
-             seed: int = 0) -> int:
+             seed: int = 0, num_classes: int = 10) -> int:
     n = 0
-    for ci, (name, builder) in enumerate(CLASSES):
+    for ci, (name, builder) in enumerate(class_table(num_classes)):
         for split, count, base in (
             ("train", per_class, 0),
             ("test", test_per_class, 10_000),
@@ -63,11 +63,13 @@ def main(argv=None):
     p.add_argument("--per_class", type=int, default=8)
     p.add_argument("--test_per_class", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_classes", type=int, default=10,
+                   help="10 or 40 (flagship dress-rehearsal set)")
     args = p.parse_args(argv)
     n = generate(args.output_dir, args.per_class, args.test_per_class,
-                 seed=args.seed)
+                 seed=args.seed, num_classes=args.num_classes)
     print(f"[make_demo_meshes] wrote {n} OFF meshes "
-          f"({len(CLASSES)} classes) -> {args.output_dir}")
+          f"({args.num_classes} classes) -> {args.output_dir}")
 
 
 if __name__ == "__main__":
