@@ -326,9 +326,11 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="run the 7x7/2 stem as a Pallas TPU kernel "
                         "(exact up to bf16 reassociation)")
     p.add_argument("--merge_inception_branches", default=None,
-                   choices=["none", "1x1", "full"],
                    help="merge Mixed-block branch convs into wider convs "
-                        "(exact; TPU MXU-occupancy optimization)")
+                        "(exact; TPU MXU-occupancy optimization): "
+                        "'none' | '1x1' | 'full', optionally with "
+                        "per-block overrides, e.g. "
+                        "'1x1,Mixed_3b=full,Mixed_3c=full'")
     p.add_argument("--remat_until", default=None,
                    help="selectively rematerialize the backbone prefix "
                         "through this endpoint (e.g. MaxPool_3a_3x3) in "

@@ -371,7 +371,13 @@ class InceptionV1Base(nn.Module):
     stem_space_to_depth: bool = False
     # Merge Mixed-block branch convs into wider convs for MXU lane
     # occupancy ("none" | "1x1" | "full"); exact math, same checkpoints
-    # (see InceptionBlock docstring).
+    # (see InceptionBlock docstring).  Per-block overrides append
+    # "Mixed_X=policy" terms: "1x1,Mixed_3b=full,Mixed_3c=full" runs the
+    # block-diagonal 3x3 merge ONLY at the 28x28 blocks, whose Branch_2
+    # reduce widths (16/32 input channels) tile the MXU's 128-deep
+    # contracting axis at 12-25% when run separately — the geometry the
+    # global "full" measurement (r3: occupancy gain cancelled by padded
+    # FLOPs at 14x14) does not resolve (VERDICT r3 Next #4).
     merge_branches: str = "none"
     # Run the 7x7/2 stem as a hand-written Pallas kernel (TPU only; exact
     # math up to bf16 reassociation, same checkpoints — see
@@ -395,6 +401,31 @@ class InceptionV1Base(nn.Module):
     NAME = "InceptionV1"
     ENDPOINTS = ENDPOINTS
     ENDPOINT_CHANNELS = ENDPOINT_CHANNELS
+
+    def _merge_for(self, name: str) -> str:
+        """Resolve the merge policy for one Mixed block from the
+        `merge_branches` spec: "<default>[,<block>=<policy>]*"."""
+        terms = [t.strip() for t in self.merge_branches.split(",") if t]
+        default = "none"
+        policy = None
+        for i, t in enumerate(terms):
+            if "=" in t:
+                blk, val = t.split("=", 1)
+                if blk not in ENDPOINTS:
+                    raise ValueError(f"merge_branches override for unknown "
+                                     f"block {blk!r}")
+                if val not in ("none", "1x1", "full"):
+                    raise ValueError(f"bad merge policy {val!r}")
+                if blk == name:
+                    policy = val
+            else:
+                if t not in ("none", "1x1", "full"):
+                    raise ValueError(f"bad merge policy {t!r}")
+                if i != 0:
+                    raise ValueError("default merge policy must be the "
+                                     "first term")
+                default = t
+        return policy if policy is not None else default
 
     def _run_plan(self, x, plan, train: bool = False):
         """Run a contiguous slice of the layer plan; -> (x, endpoints)."""
@@ -426,7 +457,7 @@ class InceptionV1Base(nn.Module):
                 x = InceptionBlock(b0, b1r, b1, b2r, b2, b3,
                                    dtype=self.dtype,
                                    bn_momentum=self.bn_momentum,
-                                   merge_branches=self.merge_branches,
+                                   merge_branches=self._merge_for(name),
                                    name=name)(x, train)
             endpoints[name] = x
         return x, endpoints

@@ -72,6 +72,49 @@ def test_backbone_forward_identical_with_merge(merge):
     )
 
 
+def test_per_block_merge_overrides():
+    """'1x1,Mixed_3b=full' spec: Mixed_3b runs the block-diagonal merge,
+    everything else the default — still numerically identical."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    base = InceptionV1Base(final_endpoint="Mixed_3c")
+    variables = jax.jit(functools.partial(base.init, train=False))(
+        {"params": jax.random.key(0)}, x
+    )
+    ref, _ = jax.jit(functools.partial(base.apply, train=False))(
+        variables, x
+    )
+    alt = InceptionV1Base(
+        final_endpoint="Mixed_3c",
+        merge_branches="1x1,Mixed_3b=full,Mixed_3c=full",
+    )
+    got, _ = jax.jit(functools.partial(alt.apply, train=False))(
+        variables, x
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    # policy resolution
+    assert alt._merge_for("Mixed_3b") == "full"
+    assert alt._merge_for("Mixed_4b") == "1x1"
+    assert InceptionV1Base(merge_branches="none,Mixed_3c=1x1")._merge_for(
+        "Mixed_3c") == "1x1"
+
+
+def test_merge_override_spec_validation():
+    with pytest.raises(ValueError, match="unknown block"):
+        InceptionV1Base(merge_branches="1x1,Mixed_9z=full")._merge_for(
+            "Mixed_3b")
+    with pytest.raises(ValueError, match="bad merge policy"):
+        InceptionV1Base(merge_branches="wide")._merge_for("Mixed_3b")
+    with pytest.raises(ValueError, match="bad merge policy"):
+        InceptionV1Base(merge_branches="1x1,Mixed_3b=wide")._merge_for(
+            "Mixed_3b")
+    with pytest.raises(ValueError, match="first term"):
+        InceptionV1Base(merge_branches="Mixed_3b=full,1x1")._merge_for(
+            "Mixed_3b")
+
+
 @pytest.mark.parametrize("merge", ["1x1", "full"])
 def test_merge_gradients_match(merge):
     """Training dynamics unchanged: per-branch kernel/BN grads and the
