@@ -81,7 +81,8 @@ def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
 # already run merged and each row's speedup would conflate the merge knob
 # into whatever its name claims to measure.
 _PINNED = {"stem_space_to_depth": False, "merge_inception_branches": "none",
-           "remat_backbone": False, "use_pallas_grouping": False}
+           "remat_backbone": False, "use_pallas_grouping": False,
+           "remat_until": ""}
 
 
 def _v(**overrides):
@@ -99,6 +100,23 @@ VARIANTS = [
                           merge_inception_branches="full")),
     ("remat", _v(remat_backbone=True)),
     ("pallas_grouping", _v(use_pallas_grouping=True)),
+    # Round-4 levers (VERDICT r3 Next #1/#4) — measured ON TOP of the
+    # production merge_1x1 so deltas read against the shipping step:
+    # selective remat of only the large-spatial prefix (stem/2c saved
+    # activations are the biggest backward-pass HBM tenants)...
+    ("remat_until_2a", _v(merge_inception_branches="1x1",
+                          remat_until="MaxPool_2a_3x3")),
+    ("remat_until_2c", _v(merge_inception_branches="1x1",
+                          remat_until="Conv2d_2c_3x3")),
+    ("remat_until_3a", _v(merge_inception_branches="1x1",
+                          remat_until="MaxPool_3a_3x3")),
+    ("remat_until_3c", _v(merge_inception_branches="1x1",
+                          remat_until="Mixed_3c")),
+    # ...and the block-diagonal 3x3 merge at ONLY the 28x28 blocks, whose
+    # 16/32-channel Branch_2 reduces tile the MXU contracting axis worst.
+    ("merge_28x28_full", _v(
+        merge_inception_branches="1x1,Mixed_3b=full,Mixed_3c=full")),
+    ("merge_3c_full", _v(merge_inception_branches="1x1,Mixed_3c=full")),
 ]
 
 
