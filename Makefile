@@ -1,6 +1,7 @@
 # Developer ergonomics for gvcnn_tf_tpu.
 
-.PHONY: test test-fast test-slow bench native clean profile collectives
+.PHONY: test test-fast test-slow bench native clean profile collectives \
+	residual loadgen rehearsal
 
 # Full suite. On a 1-core host this exceeds 10 minutes; use test-fast for
 # the quick signal and test-slow for the end-to-end half.
@@ -21,6 +22,24 @@ bench:
 profile:
 	python -m gvcnn_tf_tpu.tools.profile_step --mode train \
 		--trace /tmp/step_trace.json
+
+# Shared-cost decomposition of the flagship step (optimizer/copies/loss
+# buckets + fwd->bwd activation-save bytes; compile-only).
+residual:
+	python -m gvcnn_tf_tpu.tools.profile_step --mode train --residual
+
+# Closed-loop multi-client serving load (needs a checkpoint dir).
+loadgen:
+	python -m gvcnn_tf_tpu.tools.loadgen --config mn40_12view \
+		--checkpoint_dir $(CKPT) --clients 4 --duration 10
+
+# Flagship dress rehearsal: GVCNN vs MVCNN at the reference operating
+# point (224x224, 12 views, 40 classes) on the procedural benchmark.
+rehearsal:
+	python -m gvcnn_tf_tpu.tools.proc_benchmark --num_classes 40 \
+		--num_views 12 --height 224 --batch 32 --train_shapes 1200 \
+		--eval_shapes 400 --steps 3000 --learning_rate 0.001 \
+		--out docs/STATUS.md
 
 # Compile-time collective audit of the 8-device DP step (pod scaling).
 collectives:
