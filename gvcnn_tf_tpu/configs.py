@@ -53,7 +53,7 @@ class DataConfig:
     # equals the on-device convert, so the step is bit-identical — measured
     # loss-exact and -0.7 ms/step on v5e, it also removes the in-step
     # fp32->bf16 convert pass over the (B,V,H,W,3) input).
-    transfer_dtype: str = "auto"         # auto | float32 | bfloat16
+    transfer_dtype: str = "auto"         # auto | float32 | bfloat16 | uint8
     # Background-thread prefetch producer: overlaps host batch prep with the
     # device step.  auto = only when the host has a spare core (on a 1-CPU
     # host the producer starves the dispatcher — measured 7x slower).
@@ -192,12 +192,15 @@ def resolve_transfer_dtype(config: "GVCNNConfig"):
     or None for no host-side cast.  "auto" transfers bfloat16 exactly when
     the model computes in bfloat16 (bit-identical to the on-device convert,
     half the H2D bytes); anything computing in float32 keeps full precision
-    on the wire."""
+    on the wire.  "uint8" ships the RAW image bytes (supported loaders
+    yield uint8 views; normalization runs on device, utils/images.py —
+    ~1-ulp equivalent, 4x less H2D than float32, zero host-side
+    conversion)."""
     td = config.data.transfer_dtype
     if td == "auto":
         td = ("bfloat16" if config.compute_dtype == "bfloat16"
               else "float32")
-    return None if td == "float32" else td
+    return None if td in ("float32", "uint8") else td
 
 
 def _cfg(**kw) -> GVCNNConfig:
@@ -315,6 +318,11 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="group weight variant: mean | ceil_sum")
     p.add_argument("--preprocessing", default=None,
                    help="preprocessing family: square | slim")
+    p.add_argument("--transfer_dtype", default=None,
+                   choices=["auto", "float32", "bfloat16", "uint8"],
+                   help="host->device wire dtype for views (uint8 ships "
+                        "raw renders and normalizes on device — ~1-ulp "
+                        "equivalent, 4x less H2D; procedural loader only)")
     p.add_argument("--score_squash", default=None,
                    help="score squash: softmax | sigmoid | sigmoid_log")
     p.add_argument("--seed", type=int, default=None)
@@ -345,6 +353,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("num_views", data_kw), ("num_classes", data_kw), ("height", data_kw),
         ("width", data_kw), ("batch_size", data_kw), ("dataset_dir", data_kw),
         ("dataset", data_kw), ("preprocessing", data_kw),
+        ("transfer_dtype", data_kw),
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("epochs", train_kw), ("steps_per_epoch", train_kw),

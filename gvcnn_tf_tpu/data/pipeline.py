@@ -80,6 +80,12 @@ def make_dataset(
     """
     loader = _resolve_loader(data_cfg)
 
+    if data_cfg.transfer_dtype == "uint8" and loader != "procedural":
+        raise ValueError(
+            f"transfer_dtype='uint8' requires a loader that yields raw "
+            f"uint8 views (currently: procedural); got loader={loader!r}. "
+            f"Use transfer_dtype='auto'/'bfloat16'/'float32' here.")
+
     if loader == "native":
         # C++ threaded decode pool straight off a rendered-view image tree
         # (data/native/loader.cc); falls back to TFRecord/PIL paths when the
@@ -122,6 +128,7 @@ def make_dataset(
             shard_index=shard_index,
             num_shards=num_shards,
             hard=data_cfg.dataset == "procedural_hard",
+            raw_uint8=data_cfg.transfer_dtype == "uint8",
         )
 
     if loader == "synthetic":

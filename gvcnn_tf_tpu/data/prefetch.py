@@ -28,11 +28,20 @@ def _make_put(sharding, transfer_dtype):
     """
     cast_to = None
     if transfer_dtype is not None:
+        import numpy as _np
+
         import ml_dtypes  # numpy bf16 support, bundled with jax
 
         cast_to = {"bfloat16": ml_dtypes.bfloat16}.get(
             str(transfer_dtype), transfer_dtype
         )
+        if _np.dtype(cast_to).kind != "f":
+            # Integer wire formats (raw uint8 images) are produced by the
+            # LOADER; a float->int cast here would destroy normalized data.
+            raise ValueError(
+                f"prefetch transfer_dtype must be a float dtype, got "
+                f"{transfer_dtype!r} (uint8 transfers are configured at "
+                f"the dataset layer, see configs.resolve_transfer_dtype)")
     multiproc = jax.process_count() > 1 and sharding is not None
 
     def put(x):

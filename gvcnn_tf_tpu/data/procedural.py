@@ -637,11 +637,18 @@ def procedural_dataset(
     shard_index: int = 0,
     num_shards: int = 1,
     hard: bool = False,
+    raw_uint8: bool = False,
 ) -> Iterator[dict]:
     """Iterator of {'views': (B, V, H, W, 3) f32 in [-1, 1], 'label': (B,)}.
 
     Same contract and tail semantics as synthetic_dataset (train drops the
     ragged tail; eval yields it short).
+
+    `raw_uint8=True` yields the stored uint8 renders directly (views
+    (B, V, H, W, 3) uint8 in [0, 255]) for `transfer_dtype="uint8"` runs:
+    the device performs the same normalization (utils/images.py, ~1-ulp
+    equivalent to this iterator's float path) while the host skips ~740 ms
+    of per-flagship-batch NumPy and H2D ships 4x fewer bytes.
     """
     views, labels = build_procedural_split(
         num_views=num_views, height=height, width=width,
@@ -659,7 +666,8 @@ def procedural_dataset(
         last = n_local - batch_size + 1 if train else n_local
         for start in range(0, last, batch_size):
             idx = order[start:start + batch_size]
-            v = views[idx].astype(np.float32) / 255.0 * 2.0 - 1.0
+            v = (views[idx] if raw_uint8
+                 else views[idx].astype(np.float32) / 255.0 * 2.0 - 1.0)
             yield {"views": v, "label": labels[idx]}
         epoch += 1
 

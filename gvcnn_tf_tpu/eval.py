@@ -48,7 +48,10 @@ def _model_and_eval_step(config: GVCNNConfig, n_dev: int):
         compiler_options=tpu_compiler_options(),
     )
     def eval_step(variables, views, labels):
-        logits, _ = model.apply(variables, views, train=False)
+        from gvcnn_tf_tpu.utils import normalize_views
+
+        logits, _ = model.apply(variables, normalize_views(views),
+                                train=False)
         pred = jnp.argmax(logits.astype(jnp.float32), -1)
         correct = (pred == labels).astype(jnp.int32)
         return correct, pred
@@ -73,7 +76,10 @@ def _local_model_and_step(config: GVCNNConfig):
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def eval_step(variables, views, labels):
-        logits, _ = model.apply(variables, views, train=False)
+        from gvcnn_tf_tpu.utils import normalize_views
+
+        logits, _ = model.apply(variables, normalize_views(views),
+                                train=False)
         pred = jnp.argmax(logits.astype(jnp.float32), -1)
         return (pred == labels).astype(jnp.int32), pred
 

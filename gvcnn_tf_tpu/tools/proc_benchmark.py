@@ -44,6 +44,11 @@ def _config(model: str, a, seed: int = 0) -> "GVCNNConfig":
             batch_size=a.batch,
             synthetic_num_shapes=a.train_shapes,
             async_prefetch="off",      # renders are cached in RAM after epoch 1
+            # Ship raw uint8 renders; normalize on device (~1-ulp
+            # equivalent — the host-side float conversion is ~10x the
+            # device step at the flagship 224^2/12-view point on a 1-core
+            # host).
+            transfer_dtype="uint8",
         ),
         train=dataclasses.replace(
             cfg.train,

@@ -53,7 +53,9 @@ def extract_descriptors(
 
     @jax.jit
     def embed(variables, views):
-        _, ep = model.apply(variables, views, train=False)
+        from gvcnn_tf_tpu.utils import normalize_views
+
+        _, ep = model.apply(variables, normalize_views(views), train=False)
         d = ep["shape_descriptor"].astype(jnp.float32)
         return d / jnp.sqrt(1e-12 + (d * d).sum(-1, keepdims=True))
 

@@ -33,6 +33,7 @@ from gvcnn_tf_tpu.data import (
     prefetch_to_device,
     prefetch_to_device_async,
 )
+from gvcnn_tf_tpu.utils import normalize_views
 from gvcnn_tf_tpu.models.gvcnn import build_model
 from gvcnn_tf_tpu.parallel import (
     create_mesh,
@@ -127,7 +128,9 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        views, labels = batch["views"], batch["label"]
+        # Raw-uint8 transfers normalize on device (utils/images.py);
+        # float transfers pass through untouched.
+        views, labels = normalize_views(batch["views"]), batch["label"]
 
         k = max(tc.accumulate_steps, 1)
         if k == 1:
@@ -420,7 +423,12 @@ def train(
         # hosts meet AFTER the slow part.  Train batches are fixed-shape,
         # so the AOT executable serves the whole run.
         d = config.data
-        vdt = jnp.dtype(resolve_transfer_dtype(config) or jnp.float32)
+        # The wire dtype of the views batch: raw-uint8 transfers arrive as
+        # uint8 (resolve_transfer_dtype returns None for them because the
+        # prefetch layer must not cast).
+        vdt = jnp.dtype(
+            jnp.uint8 if d.transfer_dtype == "uint8"
+            else (resolve_transfer_dtype(config) or jnp.float32))
         batch_sds = {
             "views": jax.ShapeDtypeStruct(
                 (d.batch_size, d.num_views, d.height, d.width, 3), vdt,

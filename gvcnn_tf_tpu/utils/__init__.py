@@ -4,3 +4,4 @@ from gvcnn_tf_tpu.utils.cache import (  # noqa: F401
     tpu_compiler_options,
 )
 from gvcnn_tf_tpu.utils.fold_bn import fold_batch_norm  # noqa: F401
+from gvcnn_tf_tpu.utils.images import normalize_views  # noqa: F401
