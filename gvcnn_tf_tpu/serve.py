@@ -90,7 +90,12 @@ class InferenceEngine:
         self._stats_lock = threading.Lock()
 
         def forward(variables, x):
-            logits, ep = model.apply(variables, x, train=False)
+            from gvcnn_tf_tpu.utils import normalize_views
+
+            # Raw-uint8 wire format normalizes on device (no-op for float
+            # executables — the dtype test specializes under jit).
+            logits, ep = model.apply(variables, normalize_views(x),
+                                     train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
             scores = ep.get("view_discrimination_scores")
             return jnp.argmax(probs, -1), jnp.max(probs, -1), scores
@@ -128,11 +133,14 @@ class InferenceEngine:
                              d.width, 3)
         # Ship requests at the production transfer dtype (configs
         # resolve_transfer_dtype: bf16 for bf16-compute models — host
-        # round-to-nearest equals the on-device convert, half the bytes).
+        # round-to-nearest equals the on-device convert, half the bytes;
+        # transfer_dtype="uint8" ships raw image bytes, 4x less than f32,
+        # normalized on device).
         from gvcnn_tf_tpu.configs import resolve_transfer_dtype
 
-        self._in_dtype = jnp.dtype(resolve_transfer_dtype(config)
-                                   or jnp.float32)
+        self._in_dtype = jnp.dtype(
+            jnp.uint8 if config.data.transfer_dtype == "uint8"
+            else (resolve_transfer_dtype(config) or jnp.float32))
         # Batch buckets: each size gets its own warmed executable; a
         # request chunk runs at the smallest bucket that fits, so small
         # requests pay small compute instead of the full padded batch.
@@ -156,7 +164,14 @@ class InferenceEngine:
             jax.block_until_ready(out)
 
     def predict(self, views: np.ndarray):
-        """views (N, V, H, W, 3) -> list of result dicts (chunked/padded)."""
+        """views (N, V, H, W, 3) -> list of result dicts (chunked/padded).
+
+        Accepts normalized float views in [-1, 1] OR raw uint8 views in
+        [0, 255]; either is converted to the engine's wire dtype.  A float
+        request against a uint8-wire engine is re-quantized to uint8
+        (inverse of the standard normalize, <=1/255 rounding — views
+        originate from 8-bit renders, so this is the source precision).
+        """
         if views.ndim == 4:
             views = views[None]
         if views.shape[1:] != self._input_shape[1:]:
@@ -164,6 +179,12 @@ class InferenceEngine:
                 f"expected views shaped (N,) + {self._input_shape[1:]}, got "
                 f"{views.shape}"
             )
+        if views.dtype == np.uint8 and self._in_dtype != jnp.uint8:
+            # Raw bytes into a float-wire engine: normalize host-side.
+            views = views.astype(np.float32) / 255.0 * 2.0 - 1.0
+        elif views.dtype != np.uint8 and self._in_dtype == jnp.uint8:
+            views = np.clip((np.asarray(views, np.float32) + 1.0) * 127.5
+                            + 0.5, 0.0, 255.0).astype(np.uint8)
         results = []
         t_start = time.perf_counter()
         with self._lock:
@@ -262,7 +283,11 @@ def make_handler(engine: InferenceEngine):
                 length = int(self.headers.get("Content-Length", 0))
                 payload = self.rfile.read(length)
                 with np.load(io.BytesIO(payload)) as z:
-                    views = np.asarray(z["views"], np.float32)
+                    views = np.asarray(z["views"])
+                # Preserve raw uint8 payloads (4x smaller on the wire; the
+                # engine normalizes); anything else becomes float32.
+                if views.dtype != np.uint8:
+                    views = views.astype(np.float32)
                 results = engine.predict(views)
                 self._send(200, json.dumps(results))
             except KeyError:

@@ -184,6 +184,61 @@ def test_engine_bf16_transfer_path():
     assert all(0.0 <= r["probability"] <= 1.0 for r in out)
 
 
+def test_engine_uint8_wire_path():
+    """transfer_dtype='uint8' engine: raw uint8 requests ship as-is (4x
+    smaller H2D), float requests are re-quantized, and both agree with a
+    float-wire engine on the same underlying 8-bit data."""
+    import jax.numpy as jnp
+
+    from gvcnn_tf_tpu.serve import InferenceEngine
+
+    def _cfg(td):
+        cfg = get_config("mn10_8view")
+        return cfg.replace(
+            data=dataclasses.replace(cfg.data, height=32, width=32,
+                                     num_views=2, batch_size=2,
+                                     transfer_dtype=td),
+            compute_dtype="float32",
+            use_pallas_grouping=False,
+        )
+
+    eng8 = InferenceEngine(_cfg("uint8"), checkpoint_dir=None,
+                           serve_batch_size=2)
+    engf = InferenceEngine(_cfg("auto"), checkpoint_dir=None,
+                           serve_batch_size=2)
+    assert eng8._in_dtype == jnp.uint8
+    raw = np.random.RandomState(0).randint(
+        0, 256, size=(3, 2, 32, 32, 3)).astype(np.uint8)
+    normed = raw.astype(np.float32) / 255.0 * 2.0 - 1.0
+    out_raw = eng8.predict(raw)                 # uint8 -> uint8 wire
+    out_quant = eng8.predict(normed)            # float -> re-quantized
+    out_float = engf.predict(raw)               # uint8 -> float wire
+    ref = engf.predict(normed)                  # the established path
+    for out in (out_raw, out_quant, out_float):
+        assert [r["class_index"] for r in out] == \
+            [r["class_index"] for r in ref]
+    for a, b in zip(out_raw, ref):
+        assert abs(a["probability"] - b["probability"]) < 1e-4
+
+
+def test_uint8_http_payload(server):
+    """The HTTP layer preserves uint8 npz payloads end-to-end (server is
+    a float-wire engine: the engine normalizes host-side)."""
+    base, cfg = server
+    raw = np.random.RandomState(1).randint(
+        0, 256, size=(2, 2, 32, 32, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, views=raw)
+    status, results = _post(base + "/predict", buf.getvalue())
+    assert status == 200 and len(results) == 2
+    normed = raw.astype(np.float32) / 255.0 * 2.0 - 1.0
+    buf2 = io.BytesIO()
+    np.savez(buf2, views=normed)
+    _, ref = _post(base + "/predict", buf2.getvalue())
+    assert [r["class_index"] for r in results] == \
+        [r["class_index"] for r in ref]
+
+
 def test_engine_custom_buckets():
     """--serve_buckets: each request chunk runs at the smallest compiled
     bucket that fits; the largest bucket sets the chunk stride."""
