@@ -189,10 +189,22 @@ bool decode_any(const uint8_t* buf, size_t len, Image* out, int target_h,
 }
 
 // ---------------------------------------------------------------------------
-// Bilinear resize + normalize to [-1, 1], optional horizontal flip.
+// Bilinear resize + store, optional horizontal flip.  The blend runs in
+// float on [0, 255]; the output transform is chosen by dst type:
+//   float    -> normalize to [-1, 1] (the classic pipeline contract)
+//   uint8_t  -> round back to [0, 255] raw bytes (transfer_dtype="uint8":
+//               4x less H2D; the device normalizes, utils/images.py)
 // ---------------------------------------------------------------------------
-void resize_normalize(const Image& img, int oh, int ow, bool hflip,
-                      float* dst) {
+inline void store_px(float v, float* o) {
+  *o = v * (2.0f / 255.0f) - 1.0f;
+}
+inline void store_px(float v, uint8_t* o) {
+  v += 0.5f;  // round-half-up of a non-negative blend in [0, 255]
+  *o = uint8_t(v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v));
+}
+
+template <typename T>
+void resize_store(const Image& img, int oh, int ow, bool hflip, T* dst) {
   // Separable bilinear with precomputed column LUTs: horizontal pass blends
   // two source rows into float scanlines once per output row; the column
   // offsets/weights are computed once per image instead of per pixel.
@@ -210,7 +222,6 @@ void resize_normalize(const Image& img, int oh, int ow, bool hflip,
     wxs[x] = fx - x0;
   }
 
-  constexpr float kScale = 2.0f / 255.0f;
   for (int y = 0; y < oh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     if (fy < 0) fy = 0;
@@ -220,16 +231,16 @@ void resize_normalize(const Image& img, int oh, int ow, bool hflip,
     const float wy0 = 1.0f - wy;
     const uint8_t* r0 = img.rgb.data() + size_t(y0) * img.w * 3;
     const uint8_t* r1 = img.rgb.data() + size_t(y1) * img.w * 3;
-    float* orow = dst + size_t(y) * ow * 3;
+    T* orow = dst + size_t(y) * ow * 3;
     const int step = hflip ? -3 : 3;
-    float* o = hflip ? orow + (ow - 1) * 3 : orow;
+    T* o = hflip ? orow + (ow - 1) * 3 : orow;
     for (int x = 0; x < ow; ++x, o += step) {
       const int a = x0s[x], b = x1s[x];
       const float wx = wxs[x], wx0 = 1.0f - wx;
       for (int c = 0; c < 3; ++c) {
         const float top = wx0 * r0[a + c] + wx * r0[b + c];
         const float bot = wx0 * r1[a + c] + wx * r1[b + c];
-        o[c] = (wy0 * top + wy * bot) * kScale - 1.0f;
+        store_px(wy0 * top + wy * bot, o + c);
       }
     }
   }
@@ -239,6 +250,37 @@ struct Loader {
   explicit Loader(int threads) : pool(threads) {}
   Pool pool;
 };
+
+template <typename T>
+int decode_batch_impl(void* handle, const uint8_t** blobs,
+                      const size_t* sizes, int n, int out_h, int out_w,
+                      const uint8_t* flips, T* out) {
+  auto* L = reinterpret_cast<Loader*>(handle);
+  std::atomic<int> failures{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t stride = size_t(out_h) * out_w * 3;
+  for (int i = 0; i < n; ++i) {
+    L->pool.submit([&, i] {
+      Image img;
+      if (decode_any(blobs[i], sizes[i], &img, out_h, out_w) && img.h > 0 &&
+          img.w > 0) {
+        resize_store(img, out_h, out_w, flips && flips[i], out + stride * i);
+      } else {
+        std::memset(out + stride * i, 0, stride * sizeof(T));
+        failures.fetch_add(1);
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load();
+}
 
 }  // namespace
 
@@ -257,32 +299,15 @@ void gvl_destroy(void* handle) { delete reinterpret_cast<Loader*>(handle); }
 int gvl_decode_batch(void* handle, const uint8_t** blobs, const size_t* sizes,
                      int n, int out_h, int out_w, const uint8_t* flips,
                      float* out) {
-  auto* L = reinterpret_cast<Loader*>(handle);
-  std::atomic<int> failures{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  const size_t stride = size_t(out_h) * out_w * 3;
-  for (int i = 0; i < n; ++i) {
-    L->pool.submit([&, i] {
-      Image img;
-      if (decode_any(blobs[i], sizes[i], &img, out_h, out_w) && img.h > 0 &&
-          img.w > 0) {
-        resize_normalize(img, out_h, out_w, flips && flips[i],
-                         out + stride * i);
-      } else {
-        std::memset(out + stride * i, 0, stride * sizeof(float));
-        failures.fetch_add(1);
-      }
-      if (done.fetch_add(1) + 1 == n) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
-  return failures.load();
+  return decode_batch_impl(handle, blobs, sizes, n, out_h, out_w, flips, out);
+}
+
+// Same, but out is raw uint8 [0, 255] (rounded post-resize): the wire
+// format for transfer_dtype="uint8" runs — the device normalizes.
+int gvl_decode_batch_u8(void* handle, const uint8_t** blobs,
+                        const size_t* sizes, int n, int out_h, int out_w,
+                        const uint8_t* flips, uint8_t* out) {
+  return decode_batch_impl(handle, blobs, sizes, n, out_h, out_w, flips, out);
 }
 
 }  // extern "C"

@@ -54,6 +54,15 @@ def _build_and_load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.gvl_decode_batch_u8.restype = ctypes.c_int
+        lib.gvl_decode_batch_u8.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
     except Exception as e:  # missing toolchain/libs -> fallback path
         _lib_err = str(e)
@@ -85,11 +94,16 @@ class NativeDecoder:
         width: int,
         flips: Optional[np.ndarray] = None,
         out: Optional[np.ndarray] = None,
+        dtype=np.float32,
     ) -> np.ndarray:
+        """`dtype=np.float32` -> normalized [-1, 1]; `dtype=np.uint8` ->
+        raw [0, 255] bytes (post-resize round) for transfer_dtype='uint8'
+        runs where the device normalizes (utils/images.py)."""
         n = len(blobs)
+        dtype = np.dtype(dtype)
         if out is None:
-            out = np.empty((n, height, width, 3), np.float32)
-        assert out.shape == (n, height, width, 3) and out.dtype == np.float32
+            out = np.empty((n, height, width, 3), dtype)
+        assert out.shape == (n, height, width, 3) and out.dtype == dtype
         arr_blobs = (ctypes.c_char_p * n)(*blobs)
         arr_sizes = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
         if flips is None:
@@ -97,14 +111,18 @@ class NativeDecoder:
         else:
             flips = np.ascontiguousarray(flips, np.uint8)
             flips_ptr = flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-        failures = _lib.gvl_decode_batch(
-            self._h,
-            arr_blobs,
-            arr_sizes,
-            n, height, width,
-            flips_ptr,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        if dtype == np.uint8:
+            failures = _lib.gvl_decode_batch_u8(
+                self._h, arr_blobs, arr_sizes, n, height, width, flips_ptr,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        elif dtype == np.float32:
+            failures = _lib.gvl_decode_batch(
+                self._h, arr_blobs, arr_sizes, n, height, width, flips_ptr,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        else:
+            raise ValueError(f"unsupported decode dtype {dtype}")
         if failures:
             raise ValueError(f"{failures}/{n} images failed to decode")
         return out
@@ -124,6 +142,7 @@ def native_dataset(
     prefetch: int = 2,
     shard_index: int = 0,
     num_shards: int = 1,
+    raw_uint8: bool = False,
 ) -> Iterator[dict]:
     """Stream (B, V, H, W, 3) batches straight from a rendered-view tree.
 
@@ -171,7 +190,9 @@ def native_dataset(
                         rng.randint(0, 2, len(blobs)).astype(np.uint8)
                         if train else None
                     )
-                    flat = decoder.decode(blobs, height, width, flips)
+                    flat = decoder.decode(
+                        blobs, height, width, flips,
+                        dtype=np.uint8 if raw_uint8 else np.float32)
                     q.put({
                         "views": flat.reshape(n, num_views, height, width, 3),
                         "label": labels,

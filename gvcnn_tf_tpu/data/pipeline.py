@@ -80,11 +80,12 @@ def make_dataset(
     """
     loader = _resolve_loader(data_cfg)
 
-    if data_cfg.transfer_dtype == "uint8" and loader != "procedural":
+    if (data_cfg.transfer_dtype == "uint8"
+            and loader not in ("procedural", "native")):
         raise ValueError(
             f"transfer_dtype='uint8' requires a loader that yields raw "
-            f"uint8 views (currently: procedural); got loader={loader!r}. "
-            f"Use transfer_dtype='auto'/'bfloat16'/'float32' here.")
+            f"uint8 views (currently: procedural, native); got "
+            f"loader={loader!r}. Use 'auto'/'bfloat16'/'float32' here.")
 
     if loader == "native":
         # C++ threaded decode pool straight off a rendered-view image tree
@@ -104,6 +105,7 @@ def make_dataset(
                 seed=seed,
                 shard_index=shard_index,
                 num_shards=num_shards,
+                raw_uint8=data_cfg.transfer_dtype == "uint8",
             )
         raise RuntimeError(
             "native loader unavailable (no C++ toolchain?); build TFRecords "

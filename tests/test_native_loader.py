@@ -30,6 +30,41 @@ def test_decode_jpeg_and_png_batch():
     assert out.min() >= -1.0 and out.max() <= 1.0
 
 
+def test_decode_uint8_wire_format():
+    """dtype=uint8 decode: raw [0,255] bytes whose device-side normalize
+    agrees with the float path to the post-resize rounding (<= 1/255 in
+    normalized units, i.e. <= 0.5 of one 8-bit level)."""
+    rng = np.random.RandomState(1)
+    arrs = [rng.randint(0, 255, (48, 48, 3), np.uint8) for _ in range(4)]
+    blobs = [_encode(a, "PNG") for a in arrs]
+    dec = native_loader.NativeDecoder(2)
+    raw = dec.decode(blobs, 32, 32, dtype=np.uint8)
+    ref = dec.decode(blobs, 32, 32)                 # float path
+    assert raw.shape == (4, 32, 32, 3) and raw.dtype == np.uint8
+    renorm = raw.astype(np.float32) / 255.0 * 2.0 - 1.0
+    np.testing.assert_allclose(renorm, ref, atol=1.01 / 255.0)
+    # identity-resize of a PNG (lossless) must be the source bytes exactly
+    one = dec.decode([_encode(arrs[0], "PNG")], 48, 48, dtype=np.uint8)
+    np.testing.assert_array_equal(one[0], arrs[0])
+
+
+def test_native_dataset_raw_uint8(tmp_path):
+    rng = np.random.RandomState(2)
+    for cls in ("a", "b"):
+        d = tmp_path / cls / "s0"
+        d.mkdir(parents=True)
+        for v in range(2):
+            Image.fromarray(
+                rng.randint(0, 255, (16, 16, 3), np.uint8)
+            ).save(d / f"v{v}.png")
+    it = native_loader.native_dataset(
+        str(tmp_path), num_views=2, height=16, width=16, batch_size=2,
+        train=False, num_epochs=1, raw_uint8=True)
+    b = next(iter(it))
+    assert b["views"].dtype == np.uint8
+    assert b["views"].shape == (2, 2, 16, 16, 3)
+
+
 def test_bilinear_matches_pil_on_smooth_content():
     h = w = 64
     y, x = np.mgrid[0:h, 0:w]
