@@ -569,6 +569,24 @@ def render_views(
 # Dataset assembly (rendered once per (args) and cached in-process).
 # ---------------------------------------------------------------------------
 
+def _disk_cache_path(kwargs: dict) -> Optional[str]:
+    """Optional cross-process render cache: set GVCNN_PROC_CACHE to a
+    directory and identical splits are rendered once per MACHINE instead of
+    once per process (the flagship 40-class 224^2/12-view split is ~5-10
+    minutes of single-core rasterization).  Renders are deterministic in
+    the kwargs, so the key is just their repr."""
+    import hashlib
+    import os
+
+    root = os.environ.get("GVCNN_PROC_CACHE")
+    if not root:
+        return None
+    key = hashlib.sha256(
+        repr(sorted(kwargs.items())).encode()).hexdigest()[:24]
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"proc_{key}.npz")
+
+
 @functools.lru_cache(maxsize=4)
 def build_procedural_split(
     *,
@@ -593,6 +611,16 @@ def build_procedural_split(
     discriminativeness; the easy variant saturates both models).
     """
     assert height == width, "procedural renders are square"
+    cache_path = _disk_cache_path(dict(
+        num_views=num_views, height=height, width=width,
+        num_shapes=num_shapes, seed=seed, train_split=train_split,
+        hard=hard, num_classes=num_classes))
+    if cache_path:
+        import os
+
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                return z["views"], z["labels"]
     table = class_table(num_classes)
     n_cls = len(table)
     labels = np.arange(num_shapes, dtype=np.int32) % n_cls
@@ -620,6 +648,13 @@ def build_procedural_split(
         views[i] = np.repeat(
             (imgs * 255).astype(np.uint8)[..., None], 3, axis=-1
         )
+    if cache_path:
+        import os
+
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:                  # np.savez(str) would
+            np.savez(f, views=views, labels=labels)  # append ".npz"
+        os.replace(tmp, cache_path)                 # atomic publish
     return views, labels
 
 

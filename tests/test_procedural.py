@@ -107,6 +107,22 @@ def test_40_class_dataset_iterator():
     assert b["label"].max() < 40
 
 
+def test_disk_render_cache_roundtrip(tmp_path, monkeypatch):
+    """GVCNN_PROC_CACHE: second build of the same split loads the cached
+    renders byte-identically; different args get different cache entries."""
+    monkeypatch.setenv("GVCNN_PROC_CACHE", str(tmp_path))
+    kw = dict(num_views=2, height=24, width=24, num_shapes=6, seed=5,
+              train_split=True)
+    v1, l1 = build_procedural_split.__wrapped__(**kw)
+    files = list(tmp_path.glob("proc_*.npz"))
+    assert len(files) == 1
+    v2, l2 = build_procedural_split.__wrapped__(**kw)   # cache hit
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(l1, l2)
+    build_procedural_split.__wrapped__(**{**kw, "seed": 6})
+    assert len(list(tmp_path.glob("proc_*.npz"))) == 2
+
+
 def test_topdown_views_are_less_discriminative():
     """The every-4th near-top-down view: box vs tallbox silhouettes are
     much closer top-down than side-on (the signal GVCNN's grouping can
