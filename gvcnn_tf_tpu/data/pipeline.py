@@ -81,10 +81,10 @@ def make_dataset(
     loader = _resolve_loader(data_cfg)
 
     if (data_cfg.transfer_dtype == "uint8"
-            and loader not in ("procedural", "native")):
+            and loader not in ("procedural", "native", "tfrecord")):
         raise ValueError(
             f"transfer_dtype='uint8' requires a loader that yields raw "
-            f"uint8 views (currently: procedural, native); got "
+            f"uint8 views (procedural, native, tfrecord); got "
             f"loader={loader!r}. Use 'auto'/'bfloat16'/'float32' here.")
 
     if loader == "native":
@@ -176,6 +176,7 @@ def make_dataset(
             preprocessing=data_cfg.preprocessing,
             shard_index=shard_index,
             num_shards=num_shards,
+            raw_uint8=data_cfg.transfer_dtype == "uint8",
         )
     # Single-view configs squeeze the view axis (B, 1, H, W, 3) -> (B, H, W, 3)
     # downstream in the model, so the iterator contract is uniform.

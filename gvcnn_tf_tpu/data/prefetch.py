@@ -35,9 +35,11 @@ def _make_put(sharding, transfer_dtype):
         cast_to = {"bfloat16": ml_dtypes.bfloat16}.get(
             str(transfer_dtype), transfer_dtype
         )
-        if _np.dtype(cast_to).kind != "f":
+        if _np.dtype(cast_to).kind in "iub":
             # Integer wire formats (raw uint8 images) are produced by the
             # LOADER; a float->int cast here would destroy normalized data.
+            # (Float targets include ml_dtypes.bfloat16, whose numpy kind
+            # is the custom 'V', so only int/bool kinds are rejected.)
             raise ValueError(
                 f"prefetch transfer_dtype must be a float dtype, got "
                 f"{transfer_dtype!r} (uint8 transfers are configured at "

@@ -106,6 +106,33 @@ def test_tfrecord_roundtrip(tmp_path):
     assert set(np.concatenate([x["label"] for x in batches])) <= {0, 1}
 
 
+@pytest.mark.filterwarnings("ignore")
+def test_tfrecord_raw_uint8(tmp_path):
+    """raw_uint8: same eval geometry, uint8 wire values within 0.5 level of
+    the float path after re-normalization."""
+    pytest.importorskip("tensorflow")
+    from PIL import Image
+
+    from gvcnn_tf_tpu.data.tfrecord import build_tfrecords, tfrecord_dataset
+
+    root = tmp_path / "imgs"
+    rng = np.random.RandomState(3)
+    d = root / "chair" / "chair_0000"
+    d.mkdir(parents=True)
+    for v in range(2):
+        Image.fromarray(rng.randint(0, 255, (24, 24, 3), np.uint8)).save(
+            d / f"view_{v:02d}.png")
+    paths = build_tfrecords(str(root), str(tmp_path / "tfr"), 2,
+                            split_name="train", num_shards=1)
+    kw = dict(num_views=2, height=16, width=16, batch_size=1, train=False,
+              drop_remainder=False)
+    raw = next(iter(tfrecord_dataset(paths, raw_uint8=True, **kw)))
+    ref = next(iter(tfrecord_dataset(paths, **kw)))
+    assert raw["views"].dtype == np.uint8
+    renorm = raw["views"].astype(np.float32) / 255.0 * 2.0 - 1.0
+    np.testing.assert_allclose(renorm, ref["views"], atol=1.01 / 255.0)
+
+
 def test_prefetch_bf16_transfer():
     import jax.numpy as jnp
     from gvcnn_tf_tpu.data.prefetch import prefetch_to_device
