@@ -52,6 +52,7 @@ def run_load(
     request_sizes: Sequence[int] = (1, 8),
     warmup_s: float = 1.0,
     seed: int = 0,
+    rate_rps: float = 0.0,
 ) -> Dict:
     """Run `num_clients` closed-loop clients against `engine` for
     `duration_s` seconds; return a latency/throughput report.
@@ -61,6 +62,17 @@ def run_load(
     sizes (small requests queueing behind large ones — the tail-latency
     scenario the single-client bench can't produce).  Requests issued
     during the first `warmup_s` are excluded from the stats.
+
+    `rate_rps > 0` switches to OPEN-LOOP arrivals: each client draws
+    exponential inter-arrival gaps targeting an aggregate `rate_rps`
+    requests/sec and sends on schedule regardless of completion — the
+    standard load model for measuring tail latency at a fixed offered
+    load, where closed-loop's self-throttling (a slow reply delays the
+    next send) hides queueing collapse.  Since each client thread still
+    waits for its own reply, arrivals that fall due while the client is
+    blocked are sent back-to-back (coordinated-omission-free up to
+    `num_clients` outstanding requests); the report carries the achieved
+    rate so saturation is visible as achieved < offered.
     """
     d = engine.config.data
     rng = np.random.RandomState(seed)
@@ -81,14 +93,26 @@ def run_load(
 
     def client(idx: int) -> None:
         k = idx  # phase offset: clients start on different sizes
+        crng = np.random.RandomState(seed * 1009 + idx)
+        # Open loop: each of the num_clients threads carries rate/N rps.
+        mean_gap = (num_clients / rate_rps) if rate_rps > 0 else 0.0
+        next_due = time.perf_counter()
         try:
             while True:
+                if rate_rps > 0:
+                    next_due += crng.exponential(mean_gap)
+                    now = time.perf_counter()
+                    if next_due > now:
+                        time.sleep(next_due - now)
                 now = time.perf_counter()
                 if now >= t_end:
                     return
                 n = sizes[k % len(sizes)]
                 k += 1
-                t0 = time.perf_counter()
+                # Open-loop latency is measured from the SCHEDULED send
+                # time, so queueing delay behind a late previous reply is
+                # charged to this request (no coordinated omission).
+                t0 = min(next_due, now) if rate_rps > 0 else now
                 engine.predict(inputs[n])
                 dt = time.perf_counter() - t0
                 if t0 >= t_measure:
@@ -114,9 +138,13 @@ def run_load(
         "request_sizes": sizes,
         "requests": len(flat),
     }
+    if rate_rps > 0:
+        report["offered_rps"] = round(rate_rps, 2)
     if not flat:
         return report
     measured_wall = min(wall, duration_s) or duration_s
+    if rate_rps > 0:
+        report["achieved_rps"] = round(len(flat) / measured_wall, 2)
     total_shapes = sum(n for n, _ in flat)
     report["shapes_per_sec"] = round(total_shapes / measured_wall, 2)
     report["views_per_sec"] = round(
@@ -147,6 +175,9 @@ def main(argv=None):
     p.add_argument("--request_sizes", default="1,8",
                    help="comma-separated request batch sizes to mix")
     p.add_argument("--serve_batch_size", type=int, default=8)
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="open-loop offered load in requests/sec "
+                        "(0 = closed loop)")
     p.add_argument("--no_fold_bn", action="store_true")
     args = p.parse_args(argv)
     setup_compilation_cache()
@@ -160,7 +191,8 @@ def main(argv=None):
         buckets=sorted(set(sizes) | {args.serve_batch_size}),
     )
     report = run_load(engine, num_clients=args.clients,
-                      duration_s=args.duration, request_sizes=sizes)
+                      duration_s=args.duration, request_sizes=sizes,
+                      rate_rps=args.rate)
     print(json.dumps(report))
 
 

@@ -53,6 +53,18 @@ def test_run_load_single_client_matches_engine_contract(engine):
     assert "b2_p50_ms" not in rep
 
 
+def test_open_loop_mode(engine):
+    """rate_rps > 0: Poisson arrivals at a low offered load — achieved rate
+    tracks offered (engine is far from saturation on B=1/B=2 at 32x32),
+    and the report carries both."""
+    rep = run_load(engine, num_clients=2, duration_s=1.5,
+                   request_sizes=(1,), warmup_s=0.2, rate_rps=6.0)
+    assert rep["offered_rps"] == 6.0
+    assert rep["requests"] > 0
+    assert 0 < rep["achieved_rps"] <= 4 * rep["offered_rps"]
+    assert rep["p50_ms"] <= rep["p99_ms"]
+
+
 def test_pct_nearest_rank():
     # p50 of two samples is the LOWER one (nearest-rank), p99 the max.
     assert _pct([1.0, 9.0], 50) == 1.0
