@@ -37,6 +37,7 @@ def bench_input(config, num_batches: int = 50, warmup: int = 3) -> dict:
     rate = n / dt if dt > 0 else float("inf")
     return {
         "loader": d.loader,
+        "transfer_dtype": d.transfer_dtype,
         "batches_per_sec": round(rate, 3),
         "shapes_per_sec": round(rate * d.batch_size, 2),
         "views_per_sec": round(rate * d.batch_size * d.num_views, 1),
