@@ -220,6 +220,17 @@ def main():
                       "shapes_per_sec", "views_per_sec"):
                 if k in rep:
                     serving_latency[f"concurrent4_{k}"] = rep[k]
+            # Open-loop tail at 70% of the closed-loop capacity just
+            # measured: fixed offered rate, coordinated-omission-free —
+            # the latency a client actually sees at realistic load, which
+            # closed-loop's self-throttling understates.
+            cap_rps = rep["requests"] / 8.0
+            rep_o = run_load(eng, num_clients=4, duration_s=8.0,
+                             request_sizes=(1, 8), warmup_s=1.0,
+                             rate_rps=0.7 * cap_rps)
+            for k in ("p50_ms", "p99_ms", "offered_rps", "achieved_rps"):
+                if k in rep_o:
+                    serving_latency[f"openloop70_{k}"] = rep_o[k]
         except Exception as e:
             serving_latency["concurrent4_error"] = (
                 f"{type(e).__name__}: {e}"[:200])
