@@ -38,6 +38,18 @@ def _peak_flops() -> float:
 
 
 def main():
+    # Honor a CPU request BEFORE any device discovery: with only the env
+    # var set, the container's force-registered remote TPU plugin still
+    # initializes inside default_backend(), and that blocks indefinitely
+    # when the device tunnel is half-open (same guard as
+    # __graft_entry__._ensure_devices).
+    import os
+    if "cpu" in (os.environ.get("JAX_PLATFORMS", "")
+                 + os.environ.get("JAX_PLATFORM_NAME", "")).lower():
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     on_tpu = jax.default_backend() == "tpu"
 
     from gvcnn_tf_tpu.configs import get_config
@@ -185,18 +197,19 @@ def main():
     try:
         unfolded = {"params": state.params, "batch_stats": state.batch_stats}
         lat_iters = 50 if on_tpu else 3
+        lat_warm = 5 if on_tpu else 1   # CPU fwd is seconds per call
         # Null-dispatch floor: on the tunneled axon platform each synced
         # call pays a host<->device round trip (~1.5-35 ms depending on
         # path) that a local TPU VM would not; report it so per-shape
         # device latency can be read as p50 - floor.
         null = jax.jit(lambda v, x: x * 1.0)
         xs1 = jnp.zeros((1, 1), jnp.float32)
-        p50f, _, _ = _latency(null, xs1, xs1, lat_iters)
+        p50f, _, _ = _latency(null, xs1, xs1, lat_iters, warmup=lat_warm)
         serving_latency["dispatch_floor_p50_ms"] = round(p50f, 2)
         for nb in (1, 8):
             xs = views[:1].repeat(nb, axis=0) if nb > 1 else views[:1]
             for tag, v in (("folded", variables), ("unfolded", unfolded)):
-                p50, p99, tail = _latency(fwd, v, xs, lat_iters)
+                p50, p99, tail = _latency(fwd, v, xs, lat_iters, warmup=lat_warm)
                 serving_latency[f"b{nb}_{tag}_p50_ms"] = round(p50, 2)
                 serving_latency[f"b{nb}_{tag}_p99_ms"] = round(p99, 2)
                 serving_latency[f"b{nb}_{tag}_tail"] = tail
