@@ -58,3 +58,18 @@ def test_bench_stem_compare(capsys):
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["op"] == "stem7x7s2"
     assert row["xla_ms"] > 0
+
+
+def test_bench_phases_decomposition(monkeypatch, capsys):
+    """Measured phase decomposition runs end-to-end and reports consistent
+    absolutes (fwd <= grad; full > 0); deltas are informational."""
+    import gvcnn_tf_tpu.tools.bench_phases as bp
+
+    out = bp.main(["--iters", "2"])
+    assert out["fwd_ms"] > 0 and out["grad_ms"] > 0 and out["full_ms"] > 0
+    # gradients can't be cheaper than the forward they contain
+    assert out["grad_ms"] >= out["fwd_ms"] * 0.8   # schedule noise margin
+    assert out["bwd_minus_fwd_ms"] == round(
+        out["grad_ms"] - out["fwd_ms"], 2)
+    printed = json.loads(capsys.readouterr().out)
+    assert printed["full_ms"] == out["full_ms"]
