@@ -46,6 +46,7 @@ class DataConfig:
     prefetch_to_device: int = 2          # double-buffered HBM prefetch depth
     # Input loader: auto = synthetic if no dataset_dir, TFRecords if present,
     # else the native C++ decode pool on a rendered-view image tree.
+    # | decoded (decode-once uint8 memmap cache, data/decoded_cache.py)
     loader: str = "auto"                 # auto | tfrecord | native | synthetic
     # Host->device transfer dtype for float arrays; bfloat16 halves H2D
     # bandwidth (the model casts to its compute dtype regardless).  "auto"
@@ -318,6 +319,11 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="group weight variant: mean | ceil_sum")
     p.add_argument("--preprocessing", default=None,
                    help="preprocessing family: square | slim")
+    p.add_argument("--loader", default=None,
+                   choices=["auto", "tfrecord", "native", "synthetic",
+                            "procedural", "decoded"],
+                   help="input loader ('decoded' = decode-once uint8 "
+                        "memmap cache over an image tree)")
     p.add_argument("--transfer_dtype", default=None,
                    choices=["auto", "float32", "bfloat16", "uint8"],
                    help="host->device wire dtype for views (uint8 ships "
@@ -353,7 +359,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("num_views", data_kw), ("num_classes", data_kw), ("height", data_kw),
         ("width", data_kw), ("batch_size", data_kw), ("dataset_dir", data_kw),
         ("dataset", data_kw), ("preprocessing", data_kw),
-        ("transfer_dtype", data_kw),
+        ("transfer_dtype", data_kw), ("loader", data_kw),
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("epochs", train_kw), ("steps_per_epoch", train_kw),

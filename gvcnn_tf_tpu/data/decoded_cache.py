@@ -1,0 +1,165 @@
+"""Decode-once view cache: image tree -> uint8 memmap, stream every epoch.
+
+SURVEY.md §7 "Hard parts" names the input-bound risk (12 JPEG decodes per
+shape can starve a v5e) and suggests decode-once-to-arrayrecord.  This is
+that component, TPU-native shape: the first pass decodes + resizes every
+view ONCE (through the C++ decode pool when built, PIL otherwise) into a
+flat uint8 memmap next to the data; every subsequent epoch — and every
+subsequent RUN at the same geometry — streams batches straight from the
+memmap with zero decode cost and near-zero RAM (the OS page cache does the
+work).  Combined with `transfer_dtype="uint8"` the whole host-side input
+path becomes a memcpy.
+
+Layout (one cache per (H, W, V) geometry, invalidated by tree changes):
+
+    <cache_dir>/decoded_<key>.u8      raw (N, V, H, W, 3) uint8, C-order
+    <cache_dir>/decoded_<key>.json    {"labels": [...], "shape_ids": [...],
+                                       "classes": [...], "geometry": [...]}
+
+The key hashes the shape list (ids + per-view file paths + mtimes), so
+re-rendering or adding shapes rebuilds automatically.
+
+Usage (pipeline dispatches here for `loader="decoded"`):
+
+    it = decoded_dataset("/data/views", num_views=12, height=224,
+                         width=224, batch_size=32, train=True)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def _decode_one_pil(path: str, height: int, width: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((width, height), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+def build_decoded_cache(
+    image_root: str,
+    *,
+    num_views: int,
+    height: int,
+    width: int,
+    cache_dir: Optional[str] = None,
+    num_threads: int = 0,
+) -> Tuple[str, str]:
+    """Ensure the decoded memmap exists; -> (data_path, meta_path)."""
+    from gvcnn_tf_tpu.data.tfrecord import discover_shapes
+
+    shapes, classes = discover_shapes(image_root)
+    shapes = [(sid, lbl, v[:num_views]) for sid, lbl, v in shapes
+              if len(v) >= num_views]
+    if not shapes:
+        raise ValueError(
+            f"no shapes with >= {num_views} views in {image_root}")
+    cache_dir = cache_dir or os.path.join(image_root, ".gvcnn_decoded")
+    os.makedirs(cache_dir, exist_ok=True)
+    h = hashlib.sha256()
+    h.update(f"{num_views}x{height}x{width}".encode())
+    for sid, lbl, views in shapes:
+        h.update(sid.encode())
+        for v in views:
+            h.update(f"{v}:{os.path.getmtime(v):.3f}".encode())
+    key = h.hexdigest()[:24]
+    data_path = os.path.join(cache_dir, f"decoded_{key}.u8")
+    meta_path = os.path.join(cache_dir, f"decoded_{key}.json")
+    if os.path.exists(data_path) and os.path.exists(meta_path):
+        return data_path, meta_path
+
+    n = len(shapes)
+    mm = np.memmap(data_path + ".tmp", np.uint8, mode="w+",
+                   shape=(n, num_views, height, width, 3))
+    decoder = None
+    try:
+        from gvcnn_tf_tpu.data import native_loader
+
+        if native_loader.available():
+            decoder = native_loader.NativeDecoder(num_threads)
+    except Exception:
+        decoder = None
+    for i, (sid, lbl, views) in enumerate(shapes):
+        if decoder is not None:
+            blobs = []
+            for v in views:
+                with open(v, "rb") as f:
+                    blobs.append(f.read())
+            mm[i] = decoder.decode(blobs, height, width, dtype=np.uint8)
+        else:
+            for vi, v in enumerate(views):
+                mm[i, vi] = _decode_one_pil(v, height, width)
+    mm.flush()
+    del mm
+    meta = {
+        "labels": [int(lbl) for _, lbl, _ in shapes],
+        "shape_ids": [sid for sid, _, _ in shapes],
+        "classes": classes,
+        "geometry": [n, num_views, height, width, 3],
+    }
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(data_path + ".tmp", data_path)      # atomic publish
+    os.replace(meta_path + ".tmp", meta_path)
+    return data_path, meta_path
+
+
+def decoded_dataset(
+    image_root: str,
+    *,
+    num_views: int,
+    height: int,
+    width: int,
+    batch_size: int,
+    train: bool = True,
+    num_epochs: Optional[int] = None,
+    seed: int = 0,
+    cache_dir: Optional[str] = None,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    raw_uint8: bool = False,
+    num_threads: int = 0,
+) -> Iterator[dict]:
+    """Iterator of {'views', 'label'} batches from the decoded memmap.
+
+    Contract matches the other loaders (train drops the ragged tail and
+    repeats shuffled; eval yields the short tail once).  `raw_uint8=True`
+    yields uint8 views for `transfer_dtype="uint8"`; otherwise the batch is
+    normalized float32 in [-1, 1] like every other loader.
+
+    Note: no per-view random flip here — the cache stores decoded pixels
+    and this loader's job is zero-cost epochs.  Use the native/TFRecord
+    loaders when per-epoch photometric augmentation matters.
+    """
+    data_path, meta_path = build_decoded_cache(
+        image_root, num_views=num_views, height=height, width=width,
+        cache_dir=cache_dir, num_threads=num_threads)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    labels = np.asarray(meta["labels"], np.int32)
+    n = len(labels)
+    mm = np.memmap(data_path, np.uint8, mode="r",
+                   shape=tuple(meta["geometry"]))
+    shard = np.arange(n)[shard_index::num_shards]
+    order_rng = np.random.RandomState(seed + 13 + shard_index)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = (shard[order_rng.permutation(len(shard))] if train
+                 else shard)
+        last = len(order) - batch_size + 1 if train else len(order)
+        for start in range(0, last, batch_size):
+            idx = np.sort(order[start:start + batch_size])  # memmap-friendly
+            v = mm[idx]
+            if not raw_uint8:
+                v = v.astype(np.float32) / 255.0 * 2.0 - 1.0
+            else:
+                v = np.ascontiguousarray(v)
+            yield {"views": v, "label": labels[idx]}
+        epoch += 1

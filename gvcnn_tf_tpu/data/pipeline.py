@@ -45,7 +45,7 @@ def dataset_size(
     loader = _resolve_loader(data_cfg)
     if loader in ("synthetic", "procedural"):
         return data_cfg.synthetic_num_shapes
-    if loader == "native":
+    if loader in ("native", "decoded"):
         from gvcnn_tf_tpu.data.tfrecord import discover_shapes
 
         shapes, _ = discover_shapes(data_cfg.dataset_dir)
@@ -81,11 +81,32 @@ def make_dataset(
     loader = _resolve_loader(data_cfg)
 
     if (data_cfg.transfer_dtype == "uint8"
-            and loader not in ("procedural", "native", "tfrecord")):
+            and loader not in ("procedural", "native", "tfrecord",
+                               "decoded")):
         raise ValueError(
             f"transfer_dtype='uint8' requires a loader that yields raw "
             f"uint8 views (procedural, native, tfrecord); got "
             f"loader={loader!r}. Use 'auto'/'bfloat16'/'float32' here.")
+
+    if loader == "decoded":
+        # Decode-once uint8 memmap cache (SURVEY.md §7 "decode-once-to-
+        # arrayrecord"): first run decodes the tree, later epochs/runs
+        # stream from the memmap with zero decode cost.
+        from gvcnn_tf_tpu.data.decoded_cache import decoded_dataset
+
+        return decoded_dataset(
+            data_cfg.dataset_dir,
+            num_views=data_cfg.num_views,
+            height=data_cfg.height,
+            width=data_cfg.width,
+            batch_size=data_cfg.batch_size,
+            train=train,
+            num_epochs=num_epochs,
+            seed=seed,
+            shard_index=shard_index,
+            num_shards=num_shards,
+            raw_uint8=data_cfg.transfer_dtype == "uint8",
+        )
 
     if loader == "native":
         # C++ threaded decode pool straight off a rendered-view image tree

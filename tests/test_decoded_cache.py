@@ -1,0 +1,99 @@
+"""Decode-once memmap cache (data/decoded_cache.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gvcnn_tf_tpu.data.decoded_cache import build_decoded_cache, decoded_dataset
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    rng = np.random.RandomState(0)
+    imgs = {}
+    for cls in ("a", "b"):
+        for s in range(3):
+            d = tmp_path / cls / f"{cls}_{s:04d}"
+            d.mkdir(parents=True)
+            for v in range(2):
+                arr = rng.randint(0, 255, (16, 16, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"v{v}.png")
+                imgs[(cls, s, v)] = arr
+    return tmp_path, imgs
+
+
+def test_build_once_then_reuse(tree):
+    root, imgs = tree
+    data1, meta1 = build_decoded_cache(
+        str(root), num_views=2, height=16, width=16)
+    mtime = os.path.getmtime(data1)
+    data2, meta2 = build_decoded_cache(
+        str(root), num_views=2, height=16, width=16)
+    assert (data1, meta1) == (data2, meta2)
+    assert os.path.getmtime(data2) == mtime          # no rebuild
+    meta = json.load(open(meta1))
+    assert meta["geometry"] == [6, 2, 16, 16, 3]
+    assert meta["classes"] == ["a", "b"]
+    # identity-geometry decode: cached bytes == source pixels
+    mm = np.memmap(data1, np.uint8, mode="r", shape=(6, 2, 16, 16, 3))
+    np.testing.assert_array_equal(mm[0, 0], imgs[("a", 0, 0)])
+
+
+def test_cache_invalidates_on_tree_change(tree):
+    root, _ = tree
+    data1, _ = build_decoded_cache(str(root), num_views=2, height=16,
+                                   width=16)
+    # add a shape -> new key, new cache file
+    d = root / "a" / "a_9999"
+    d.mkdir()
+    for v in range(2):
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / f"v{v}.png")
+    data2, _ = build_decoded_cache(str(root), num_views=2, height=16,
+                                   width=16)
+    assert data1 != data2
+
+
+def test_decoded_dataset_contract(tree):
+    root, _ = tree
+    kw = dict(num_views=2, height=16, width=16, batch_size=4, seed=0,
+              num_epochs=1)
+    eval_sizes = [len(b["label"]) for b in
+                  decoded_dataset(str(root), train=False, **kw)]
+    assert eval_sizes == [4, 2]                      # ragged eval tail kept
+    b = next(iter(decoded_dataset(str(root), train=True, **kw)))
+    assert b["views"].shape == (4, 2, 16, 16, 3)
+    assert b["views"].dtype == np.float32
+    assert b["views"].min() >= -1.0 and b["views"].max() <= 1.0
+    b8 = next(iter(decoded_dataset(str(root), train=True, raw_uint8=True,
+                                   **kw)))
+    assert b8["views"].dtype == np.uint8
+
+
+def test_pipeline_dispatch_decoded(tree):
+    root, _ = tree
+    from gvcnn_tf_tpu.configs import DataConfig
+    from gvcnn_tf_tpu.data.pipeline import dataset_size, make_dataset
+
+    cfg = DataConfig(dataset="modelnet", dataset_dir=str(root),
+                     loader="decoded", num_classes=2, num_views=2,
+                     height=16, width=16, batch_size=2,
+                     transfer_dtype="uint8")
+    assert dataset_size(cfg, train=True) == 6
+    b = next(iter(make_dataset(cfg, train=True, seed=0, num_epochs=1)))
+    assert b["views"].dtype == np.uint8
+    assert b["label"].max() < 2
+
+
+def test_sharded_decoded_dataset(tree):
+    root, _ = tree
+    kw = dict(num_views=2, height=16, width=16, batch_size=2, seed=0,
+              num_epochs=1, train=False)
+    all_labels = []
+    for shard in range(2):
+        for b in decoded_dataset(str(root), shard_index=shard,
+                                 num_shards=2, **kw):
+            all_labels.extend(b["label"].tolist())
+    assert len(all_labels) == 6                      # disjoint cover
