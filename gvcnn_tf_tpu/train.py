@@ -511,6 +511,17 @@ def train(
             if batch is None:
                 metrics_lib.log("dataset exhausted")
                 break
+            if step == start:
+                # One-time sanity gate: an out-of-range label makes the
+                # integer cross-entropy silently NaN hundreds of steps
+                # later at best; fail loudly on the first batch instead
+                # (costs one device_get, once).
+                lmax = int(jax.device_get(jnp.max(batch["label"])))
+                if lmax >= config.data.num_classes:
+                    raise ValueError(
+                        f"label {lmax} out of range for num_classes="
+                        f"{config.data.num_classes} — dataset/label-space "
+                        f"mismatch (check --num_classes vs the data)")
             state, mets = train_step(state, batch, loop_rng)
             if want_schedule_trace:
                 want_schedule_trace = False

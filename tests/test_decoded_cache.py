@@ -97,3 +97,30 @@ def test_sharded_decoded_dataset(tree):
                                  num_shards=2, **kw):
             all_labels.extend(b["label"].tolist())
     assert len(all_labels) == 6                      # disjoint cover
+
+
+def test_train_rejects_out_of_range_labels(tree, tmp_path):
+    """First-batch label gate (train.py): a tree with more classes than
+    the configured head fails loudly instead of silently NaN-ing."""
+    import dataclasses
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import train as train_fn
+
+    root, _ = tree
+    cfg = get_config("mn10_8view")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset_dir=str(root), loader="decoded",
+            height=16, width=16, num_views=2, batch_size=2,
+            num_classes=1,           # tree has classes {a, b} -> labels 0,1
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        num_devices=1,
+        train=dataclasses.replace(
+            cfg.train, num_steps=1, log_every=1, checkpoint_every=0,
+            train_logdir=str(tmp_path / "t")),
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        train_fn(cfg)
