@@ -184,7 +184,12 @@ def main():
         ts = sorted(raw)
 
         def pct(p):
-            return ts[min(int(p / 100 * len(ts)), len(ts) - 1)] * 1e3
+            # Nearest-rank, same convention as serve.latency_stats and
+            # tools/loadgen (the naive int(p/100*n) is one rank high: p99
+            # of 50 samples would literally be the max).
+            import math
+            i = min(max(math.ceil(p / 100 * len(ts)) - 1, 0), len(ts) - 1)
+            return ts[i] * 1e3
 
         return (pct(50), pct(99),
                 {"p90_ms": round(pct(90), 2),
@@ -226,7 +231,8 @@ def main():
             from gvcnn_tf_tpu.tools.loadgen import run_load
 
             eng = InferenceEngine(cfg, state=state, serve_batch_size=8)
-            rep = run_load(eng, num_clients=4, duration_s=8.0,
+            load_s = 8.0
+            rep = run_load(eng, num_clients=4, duration_s=load_s,
                            request_sizes=(1, 8), warmup_s=1.0)
             for k in ("p50_ms", "p99_ms", "b1_p50_ms", "b1_p99_ms",
                       "b8_p50_ms", "b8_p99_ms", "requests",
@@ -237,13 +243,15 @@ def main():
             # measured: fixed offered rate, coordinated-omission-free —
             # the latency a client actually sees at realistic load, which
             # closed-loop's self-throttling understates.
-            cap_rps = rep["requests"] / 8.0
-            rep_o = run_load(eng, num_clients=4, duration_s=8.0,
-                             request_sizes=(1, 8), warmup_s=1.0,
-                             rate_rps=0.7 * cap_rps)
-            for k in ("p50_ms", "p99_ms", "offered_rps", "achieved_rps"):
-                if k in rep_o:
-                    serving_latency[f"openloop70_{k}"] = rep_o[k]
+            cap_rps = rep["requests"] / load_s
+            if cap_rps > 0:  # zero would silently rerun CLOSED loop
+                rep_o = run_load(eng, num_clients=4, duration_s=load_s,
+                                 request_sizes=(1, 8), warmup_s=1.0,
+                                 rate_rps=0.7 * cap_rps)
+                for k in ("p50_ms", "p99_ms", "offered_rps",
+                          "achieved_rps"):
+                    if k in rep_o:
+                        serving_latency[f"openloop70_{k}"] = rep_o[k]
         except Exception as e:
             serving_latency["concurrent4_error"] = (
                 f"{type(e).__name__}: {e}"[:200])

@@ -328,7 +328,8 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    choices=["auto", "float32", "bfloat16", "uint8"],
                    help="host->device wire dtype for views (uint8 ships "
                         "raw renders and normalizes on device — ~1-ulp "
-                        "equivalent, 4x less H2D; procedural loader only)")
+                        "equivalent, 4x less H2D; procedural/native/"
+                        "tfrecord/decoded loaders)")
     p.add_argument("--score_squash", default=None,
                    help="score squash: softmax | sigmoid | sigmoid_log")
     p.add_argument("--seed", type=int, default=None)

@@ -76,7 +76,12 @@ def build_decoded_cache(
         return data_path, meta_path
 
     n = len(shapes)
-    mm = np.memmap(data_path + ".tmp", np.uint8, mode="w+",
+    # pid-suffixed tmp: concurrent builders (multi-process startup, two
+    # jobs sharing a data dir) each write their own file; whoever publishes
+    # first wins and the others' byte-identical result replaces it.
+    tmp_data = f"{data_path}.tmp{os.getpid()}"
+    tmp_meta = f"{meta_path}.tmp{os.getpid()}"
+    mm = np.memmap(tmp_data, np.uint8, mode="w+",
                    shape=(n, num_views, height, width, 3))
     decoder = None
     try:
@@ -104,10 +109,10 @@ def build_decoded_cache(
         "classes": classes,
         "geometry": [n, num_views, height, width, 3],
     }
-    with open(meta_path + ".tmp", "w") as f:
+    with open(tmp_meta, "w") as f:
         json.dump(meta, f)
-    os.replace(data_path + ".tmp", data_path)      # atomic publish
-    os.replace(meta_path + ".tmp", meta_path)
+    os.replace(tmp_data, data_path)                # atomic publish
+    os.replace(tmp_meta, meta_path)
     return data_path, meta_path
 
 
@@ -148,6 +153,12 @@ def decoded_dataset(
     mm = np.memmap(data_path, np.uint8, mode="r",
                    shape=tuple(meta["geometry"]))
     shard = np.arange(n)[shard_index::num_shards]
+    if train and len(shard) < batch_size:
+        # An empty per-epoch loop under num_epochs=None would spin forever
+        # without yielding; fail loudly instead.
+        raise ValueError(
+            f"shard {shard_index}/{num_shards} has {len(shard)} shapes < "
+            f"batch_size {batch_size} — reduce batch_size or shards")
     order_rng = np.random.RandomState(seed + 13 + shard_index)
     epoch = 0
     while num_epochs is None or epoch < num_epochs:

@@ -85,7 +85,7 @@ def make_dataset(
                                "decoded")):
         raise ValueError(
             f"transfer_dtype='uint8' requires a loader that yields raw "
-            f"uint8 views (procedural, native, tfrecord); got "
+            f"uint8 views (procedural, native, tfrecord, decoded); got "
             f"loader={loader!r}. Use 'auto'/'bfloat16'/'float32' here.")
 
     if loader == "decoded":

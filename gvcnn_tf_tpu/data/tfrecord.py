@@ -38,14 +38,18 @@ _IMG_EXTS = (".jpg", ".jpeg", ".png")
 
 def discover_shapes(root: str) -> Tuple[List[Tuple[str, int, List[str]]], List[str]]:
     """Walk a rendered-view tree -> ([(shape_id, label, [view paths])], classes)."""
+    # Hidden directories are never classes — the decoded-view cache lives
+    # at <root>/.gvcnn_decoded and counting it would shift every label.
     classes = sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
     )
     shapes: List[Tuple[str, int, List[str]]] = []
     for label, cls in enumerate(classes):
         cdir = os.path.join(root, cls)
         subdirs = sorted(
-            d for d in os.listdir(cdir) if os.path.isdir(os.path.join(cdir, d))
+            d for d in os.listdir(cdir)
+            if os.path.isdir(os.path.join(cdir, d)) and not d.startswith(".")
         )
         if subdirs:  # layout 1: one dir per shape
             for sid in subdirs:

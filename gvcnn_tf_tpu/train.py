@@ -516,12 +516,15 @@ def train(
                 # integer cross-entropy silently NaN hundreds of steps
                 # later at best; fail loudly on the first batch instead
                 # (costs one device_get, once).
-                lmax = int(jax.device_get(jnp.max(batch["label"])))
-                if lmax >= config.data.num_classes:
+                lmin, lmax = (int(v) for v in jax.device_get(
+                    jnp.stack([jnp.min(batch["label"]),
+                               jnp.max(batch["label"])])))
+                if lmin < 0 or lmax >= config.data.num_classes:
                     raise ValueError(
-                        f"label {lmax} out of range for num_classes="
-                        f"{config.data.num_classes} — dataset/label-space "
-                        f"mismatch (check --num_classes vs the data)")
+                        f"labels [{lmin}, {lmax}] out of range for "
+                        f"num_classes={config.data.num_classes} — dataset/"
+                        f"label-space mismatch (check --num_classes vs the "
+                        f"data; negative labels one-hot to all-zeros)")
             state, mets = train_step(state, batch, loop_rng)
             if want_schedule_trace:
                 want_schedule_trace = False
