@@ -67,9 +67,12 @@ def test_bench_phases_decomposition(monkeypatch, capsys):
 
     out = bp.main(["--iters", "2"])
     assert out["fwd_ms"] > 0 and out["grad_ms"] > 0 and out["full_ms"] > 0
-    # gradients can't be cheaper than the forward they contain
-    assert out["grad_ms"] >= out["fwd_ms"] * 0.8   # schedule noise margin
-    assert out["bwd_minus_fwd_ms"] == round(
-        out["grad_ms"] - out["fwd_ms"], 2)
+    # No fwd-vs-grad ordering assert: each variant is its own XLA schedule
+    # and on the 1-core CPU backend the relative times are pure noise (the
+    # tool's docstring carries the same caveat).  The delta is computed
+    # from UNROUNDED seconds, so comparing against the rounded ms fields
+    # carries up to 0.01 ms of double rounding.
+    assert abs(out["bwd_minus_fwd_ms"]
+               - (out["grad_ms"] - out["fwd_ms"])) <= 0.011
     printed = json.loads(capsys.readouterr().out)
     assert printed["full_ms"] == out["full_ms"]
