@@ -37,20 +37,61 @@ def _peak_flops() -> float:
     return 197e12 if jax.default_backend() == "tpu" else 1e12  # cpu: nominal
 
 
-def main():
-    # Honor a CPU request BEFORE any device discovery: with only the env
-    # var set, the container's force-registered remote TPU plugin still
-    # initializes inside default_backend(), and that blocks indefinitely
-    # when the device tunnel is half-open (same guard as
-    # __graft_entry__._ensure_devices).
+def _discover_backend(timeout_s: float = 150.0):
+    """-> (backend_name or None, failure_reason or None).
+
+    Backend discovery runs in a SUBPROCESS: the remote TPU plugin either
+    fails fast (`RuntimeError: Unable to initialize backend 'axon'`) or —
+    when the device tunnel is half-open — HANGS indefinitely inside
+    plugin init, and only a process boundary can bound the hang.  The
+    parent never touches jax.devices() until this verdict is in, so an
+    outage yields a structured JSON record instead of rc=1
+    (VERDICT r4: BENCH_r04.json was `parsed: null` for exactly this).
+    """
     import os
+    import subprocess
+
+    forced = os.environ.get("GVCNN_BENCH_FORCE_BACKEND_FAIL")
+    if forced:  # test hook: simulate a dead tunnel without one
+        return None, f"simulated backend failure ({forced})"
     if "cpu" in (os.environ.get("JAX_PLATFORMS", "")
                  + os.environ.get("JAX_PLATFORM_NAME", "")).lower():
+        return "cpu", None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND=' + jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, (f"backend discovery hung >{timeout_s:.0f}s "
+                      "(half-open device tunnel)")
+    for line in r.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line[len("BACKEND="):].strip(), None
+    tail = (r.stderr.strip().splitlines() or ["backend init failed"])[-1]
+    return None, tail[:200]
+
+
+def main():
+    backend, fail_reason = _discover_backend()
+    tpu_unavailable = backend is None
+    if backend != "tpu":
+        # Force CPU through jax.config BEFORE any device discovery in THIS
+        # process — with only the env var set, the container's
+        # force-registered remote TPU plugin still initializes inside
+        # default_backend(), and that blocks indefinitely when the tunnel
+        # is half-open (same guard as __graft_entry__._ensure_devices).
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
     on_tpu = jax.default_backend() == "tpu"
+    import os
+    # Quick mode (tests / outage smoke): train-step timing only — skip the
+    # serving-latency, load-generator and backbone-FLOPs sections, each of
+    # which costs extra XLA CPU compiles (minutes on the 1-core host).
+    quick = bool(os.environ.get("GVCNN_BENCH_QUICK"))
 
     from gvcnn_tf_tpu.configs import get_config
     from gvcnn_tf_tpu.train import create_train_state, make_train_step
@@ -97,6 +138,8 @@ def main():
 
     # FLOPs of one step from XLA's cost model (for the roofline fraction).
     try:
+        if quick:  # second compile of the step; minutes on 1-core CPU
+            raise RuntimeError("skipped: GVCNN_BENCH_QUICK")
         lowered = jax.jit(
             make_train_step(model, tx, cfg)
         ).lower(state, batch_data, key)
@@ -131,21 +174,23 @@ def main():
 
     # Inference path (serving): forward-only views/sec at the same batch,
     # with BN folded into the conv kernels (exact; serve.py's default).
-    from gvcnn_tf_tpu.utils import fold_batch_norm
+    eval_views_per_sec = 0.0
+    if not quick:
+        from gvcnn_tf_tpu.utils import fold_batch_norm
 
-    variables = fold_batch_norm(
-        {"params": state.params, "batch_stats": state.batch_stats}
-    )
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0],
-                  compiler_options=copts)
-    out = fwd(variables, views)
-    float(jax.device_get(out[0, 0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
+        variables = fold_batch_norm(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0],
+                      compiler_options=copts)
         out = fwd(variables, views)
-    float(jax.device_get(out[0, 0]))
-    dt_fwd = (time.perf_counter() - t0) / iters
-    eval_views_per_sec = d.batch_size * d.num_views / dt_fwd
+        float(jax.device_get(out[0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, views)
+        float(jax.device_get(out[0, 0]))
+        dt_fwd = (time.perf_counter() - t0) / iters
+        eval_views_per_sec = d.batch_size * d.num_views / dt_fwd
 
     # Peak serving throughput: B=64 is the measured sweet spot on v5e
     # (docs/PERF_VARIANTS.md r3b, +8% over B=32; --serve_batch_size 64).
@@ -200,6 +245,8 @@ def main():
 
     serving_latency = {}
     try:
+        if quick:
+            raise RuntimeError("skipped: GVCNN_BENCH_QUICK")
         unfolded = {"params": state.params, "batch_stats": state.batch_stats}
         lat_iters = 50 if on_tpu else 3
         lat_warm = 5 if on_tpu else 1   # CPU fwd is seconds per call
@@ -261,6 +308,8 @@ def main():
     # "conv-only roofline" view the north star asks for — whole-step MFU
     # also counts optimizer/BN/grouping FLOPs and hides where loss is.
     try:
+        if quick:
+            raise RuntimeError("skipped: GVCNN_BENCH_QUICK")
         from gvcnn_tf_tpu.models.backbones import get_backbone
         import functools as _ft
 
@@ -302,7 +351,7 @@ def main():
         else 0.0
     )
 
-    print(json.dumps({
+    record = {
         "metric": "train_views_per_sec_per_chip_12view",
         "value": round(views_per_sec, 2),
         "unit": "views/s/chip",
@@ -322,7 +371,14 @@ def main():
             "loss": float(mets["loss"]),
             "serving_latency": serving_latency,
         },
-    }))
+    }
+    if tpu_unavailable:
+        # TPU was expected but backend init failed/hung: the numbers above
+        # are the CPU-fallback sanity run (tiny shapes), NOT chip numbers.
+        record["tpu_unavailable"] = True
+        record["extra"]["tpu_unavailable_reason"] = fail_reason
+        record["extra"]["cpu_sanity"] = True
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

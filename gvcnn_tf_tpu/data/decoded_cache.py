@@ -75,42 +75,66 @@ def build_decoded_cache(
     if os.path.exists(data_path) and os.path.exists(meta_path):
         return data_path, meta_path
 
+    # Sweep stale tmp leftovers from builders that died mid-decode (ADVICE
+    # r4: each is the FULL dataset size and accumulates forever).  An hour
+    # is far past any live build's write cadence, and a live builder keeps
+    # refreshing its file's mtime as it decodes.
+    import time
+
+    for fname in os.listdir(cache_dir):
+        if ".tmp" in fname and fname.startswith("decoded_"):
+            p = os.path.join(cache_dir, fname)
+            try:
+                if time.time() - os.path.getmtime(p) > 3600:
+                    os.unlink(p)
+            except OSError:
+                pass
+
     n = len(shapes)
     # pid-suffixed tmp: concurrent builders (multi-process startup, two
     # jobs sharing a data dir) each write their own file; whoever publishes
     # first wins and the others' byte-identical result replaces it.
     tmp_data = f"{data_path}.tmp{os.getpid()}"
     tmp_meta = f"{meta_path}.tmp{os.getpid()}"
-    mm = np.memmap(tmp_data, np.uint8, mode="w+",
-                   shape=(n, num_views, height, width, 3))
-    decoder = None
     try:
-        from gvcnn_tf_tpu.data import native_loader
-
-        if native_loader.available():
-            decoder = native_loader.NativeDecoder(num_threads)
-    except Exception:
+        mm = np.memmap(tmp_data, np.uint8, mode="w+",
+                       shape=(n, num_views, height, width, 3))
         decoder = None
-    for i, (sid, lbl, views) in enumerate(shapes):
-        if decoder is not None:
-            blobs = []
-            for v in views:
-                with open(v, "rb") as f:
-                    blobs.append(f.read())
-            mm[i] = decoder.decode(blobs, height, width, dtype=np.uint8)
-        else:
-            for vi, v in enumerate(views):
-                mm[i, vi] = _decode_one_pil(v, height, width)
-    mm.flush()
-    del mm
-    meta = {
-        "labels": [int(lbl) for _, lbl, _ in shapes],
-        "shape_ids": [sid for sid, _, _ in shapes],
-        "classes": classes,
-        "geometry": [n, num_views, height, width, 3],
-    }
-    with open(tmp_meta, "w") as f:
-        json.dump(meta, f)
+        try:
+            from gvcnn_tf_tpu.data import native_loader
+
+            if native_loader.available():
+                decoder = native_loader.NativeDecoder(num_threads)
+        except Exception:
+            decoder = None
+        for i, (sid, lbl, views) in enumerate(shapes):
+            if decoder is not None:
+                blobs = []
+                for v in views:
+                    with open(v, "rb") as f:
+                        blobs.append(f.read())
+                mm[i] = decoder.decode(blobs, height, width, dtype=np.uint8)
+            else:
+                for vi, v in enumerate(views):
+                    mm[i, vi] = _decode_one_pil(v, height, width)
+        mm.flush()
+        del mm
+        meta = {
+            "labels": [int(lbl) for _, lbl, _ in shapes],
+            "shape_ids": [sid for sid, _, _ in shapes],
+            "classes": classes,
+            "geometry": [n, num_views, height, width, 3],
+        }
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+    except BaseException:
+        # A failed/killed build must not strand a dataset-sized tmp file.
+        for p in (tmp_data, tmp_meta):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise
     os.replace(tmp_data, data_path)                # atomic publish
     os.replace(tmp_meta, meta_path)
     return data_path, meta_path
@@ -131,6 +155,7 @@ def decoded_dataset(
     num_shards: int = 1,
     raw_uint8: bool = False,
     num_threads: int = 0,
+    augment: bool = True,
 ) -> Iterator[dict]:
     """Iterator of {'views', 'label'} batches from the decoded memmap.
 
@@ -139,9 +164,14 @@ def decoded_dataset(
     yields uint8 views for `transfer_dtype="uint8"`; otherwise the batch is
     normalized float32 in [-1, 1] like every other loader.
 
-    Note: no per-view random flip here — the cache stores decoded pixels
-    and this loader's job is zero-cost epochs.  Use the native/TFRecord
-    loaders when per-epoch photometric augmentation matters.
+    Augmentation (VERDICT r4 Next #7): training batches get a per-view
+    random horizontal flip on the host — a microsecond-scale np slice
+    assignment on the memmap batch, so epochs stay decode-free while the
+    training distribution keeps the reference's flip augmentation
+    (reference train_image_classifier flip, SURVEY.md C5).  The cache
+    stores pre-resized pixels, so the reference's random-CROP jitter is
+    not reproduced here; use the native/TFRecord loaders when crop
+    augmentation matters.  Eval batches are always deterministic.
     """
     data_path, meta_path = build_decoded_cache(
         image_root, num_views=num_views, height=height, width=width,
@@ -160,6 +190,8 @@ def decoded_dataset(
             f"shard {shard_index}/{num_shards} has {len(shard)} shapes < "
             f"batch_size {batch_size} — reduce batch_size or shards")
     order_rng = np.random.RandomState(seed + 13 + shard_index)
+    aug_rng = np.random.RandomState(seed + 517 + shard_index)
+    do_aug = train and augment
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
         order = (shard[order_rng.permutation(len(shard))] if train
@@ -168,6 +200,12 @@ def decoded_dataset(
         for start in range(0, last, batch_size):
             idx = np.sort(order[start:start + batch_size])  # memmap-friendly
             v = mm[idx]
+            if do_aug:
+                # Fancy indexing above already copied out of the memmap;
+                # flip the W axis of a random half of the (shape, view)
+                # slots in place.
+                flip = aug_rng.rand(len(idx), v.shape[1]) < 0.5
+                v[flip] = v[flip][:, :, ::-1]
             if not raw_uint8:
                 v = v.astype(np.float32) / 255.0 * 2.0 - 1.0
             else:

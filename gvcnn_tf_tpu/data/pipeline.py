@@ -106,6 +106,7 @@ def make_dataset(
             shard_index=shard_index,
             num_shards=num_shards,
             raw_uint8=data_cfg.transfer_dtype == "uint8",
+            augment=data_cfg.augment,
         )
 
     if loader == "native":

@@ -87,7 +87,8 @@ def _local_model_and_step(config: GVCNNConfig):
     return _EVAL_STEP_CACHE[key]
 
 
-def _evaluate_multiprocess(config, *, state, per_class, fold_bn):
+def _evaluate_multiprocess(config, *, state, checkpoint_dir=None,
+                           per_class, fold_bn):
     """Pod evaluation (VERDICT r3 Next #5): reuses the per-process input
     sharding machinery — each process streams a DISJOINT shard of the val
     split at global_batch/num_processes and scores it on its own devices;
@@ -120,7 +121,10 @@ def _evaluate_multiprocess(config, *, state, per_class, fold_bn):
             "params": init_vars["params"],
             "batch_stats": init_vars.get("batch_stats", {}),
         }
-        ckpt_dir = config.train.train_logdir
+        # Same default as the single-process path: an explicit
+        # --checkpoint_dir wins over the config's train_logdir (ADVICE r4:
+        # ignoring it here silently evaluated the wrong checkpoint).
+        ckpt_dir = checkpoint_dir or config.train.train_logdir
         variables = Checkpointer(ckpt_dir).restore_partial(target)
     if fold_bn:
         from gvcnn_tf_tpu.utils import fold_batch_norm
@@ -198,7 +202,8 @@ def evaluate(
                 "dataset_iter injection is single-process only; on a pod "
                 "each process streams its own split shard")
         return _evaluate_multiprocess(
-            config, state=state, per_class=per_class, fold_bn=fold_bn)
+            config, state=state, checkpoint_dir=checkpoint_dir,
+            per_class=per_class, fold_bn=fold_bn)
     n_dev = config.num_devices or len(jax.devices())
     # Shard evaluation over the data mesh when configured (config 5 parity:
     # sharded input over ICI applies to the eval stream too).  On a 1-device

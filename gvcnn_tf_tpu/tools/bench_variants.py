@@ -26,7 +26,13 @@ import numpy as np
 
 
 def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
-    """-> (median step seconds, XLA-counted step FLOPs)."""
+    """-> (median step seconds, XLA-counted step FLOPs).
+
+    Views are fed at the config's resolved transfer dtype (the same bytes
+    the prefetch layer ships), so `transfer_dtype` variants measure the
+    REAL wire format end to end: uint8 rows exercise the on-device
+    `normalize_views` path inside the jitted step (utils/images.py).
+    """
     from gvcnn_tf_tpu.train import create_train_state, make_train_step
 
     cfg = cfg.replace(
@@ -41,10 +47,17 @@ def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
                    compiler_options=copts)
 
     rng = np.random.RandomState(0)
-    views = jnp.asarray(
-        rng.rand(d.batch_size, d.num_views, d.height, d.width, 3),
-        jnp.float32,
-    )
+    from gvcnn_tf_tpu.configs import resolve_transfer_dtype
+
+    shape = (d.batch_size, d.num_views, d.height, d.width, 3)
+    if d.transfer_dtype == "uint8":
+        # Raw wire bytes: the dataset layer yields uint8 and the jitted
+        # step normalizes on device (resolve_transfer_dtype returns None
+        # here because the PREFETCH layer does no cast).
+        views = jnp.asarray(rng.randint(0, 256, size=shape), jnp.uint8)
+    else:
+        wire = resolve_transfer_dtype(cfg) or jnp.float32
+        views = jnp.asarray(rng.rand(*shape), jnp.float32).astype(wire)
     labels = jnp.asarray(
         rng.randint(0, d.num_classes, size=d.batch_size), jnp.int32
     )
@@ -82,7 +95,12 @@ def time_variant(cfg, batch: int, iters: int = 30, chunk: int = 10):
 # into whatever its name claims to measure.
 _PINNED = {"stem_space_to_depth": False, "merge_inception_branches": "none",
            "remat_backbone": False, "use_pallas_grouping": False,
-           "remat_until": ""}
+           "remat_until": "",
+           # float32 feed pinned for every legacy variant: r2/r3 rows were
+           # measured with an f32 feed, and within-sweep deltas must not
+           # conflate a layout knob with the wire format (wire_* rows
+           # override this deliberately).
+           "transfer_dtype": "float32"}
 
 
 def _v(**overrides):
@@ -117,7 +135,33 @@ VARIANTS = [
     ("merge_28x28_full", _v(
         merge_inception_branches="1x1,Mixed_3b=full,Mixed_3c=full")),
     ("merge_3c_full", _v(merge_inception_branches="1x1,Mixed_3c=full")),
+    # Round-5: wire-format A/B (VERDICT r4 Next #4) on the PRODUCTION
+    # layout (merge_1x1) — same device math, only the host->device bytes
+    # and the in-step input conversion differ.  uint8 ships 1/4 of
+    # float32's bytes and runs utils.normalize_views inside the step;
+    # the question this answers is whether that normalize fuses into the
+    # stem (uint8 step time == bf16 step time) or materializes a float
+    # copy (uint8 slower by a ~58 MB HBM round trip, ~0.07 ms at 819 GB/s).
+    ("wire_f32", _v(merge_inception_branches="1x1",
+                    transfer_dtype="float32")),
+    ("wire_bf16", _v(merge_inception_branches="1x1",
+                     transfer_dtype="bfloat16")),
+    ("wire_uint8", _v(merge_inception_branches="1x1",
+                      transfer_dtype="uint8")),
 ]
+
+
+def variant_config(base, overrides):
+    """Apply a VARIANTS override dict: top-level model knobs go through
+    config.replace; `transfer_dtype` routes to the DataConfig."""
+    overrides = dict(overrides)
+    td = overrides.pop("transfer_dtype", None)
+    cfg = base.replace(**overrides)
+    if td is not None:
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, transfer_dtype=td)
+        )
+    return cfg
 
 
 def main(argv=None):
@@ -142,7 +186,7 @@ def main(argv=None):
     for name, overrides in VARIANTS:
         if want and name not in want:
             continue
-        cfg = base.replace(**overrides)
+        cfg = variant_config(base, overrides)
         dt, flops = time_variant(cfg, args.batch, iters=args.iters)
         if base_dt is None and name == "baseline":
             base_dt = dt

@@ -71,8 +71,19 @@ assert int(state.step) == 2
 from gvcnn_tf_tpu.eval import evaluate
 res = evaluate(cfg, state=state)
 assert res["count"] > 0, res
+# ADVICE r4: an explicit checkpoint_dir must win over train_logdir on a
+# pod too.  train_logdir has NO checkpoint (checkpoint_every=0), so the
+# pre-fix code (which ignored the argument) would fail to restore here.
+from gvcnn_tf_tpu.checkpoint import Checkpointer
+alt_dir = logdir + "_alt"
+ck = Checkpointer(alt_dir)
+ck.save(2, state, force=True)
+ck.wait()
+res_ck = evaluate(cfg, checkpoint_dir=alt_dir)
+assert res_ck["count"] == res["count"], (res_ck, res)
 print(f"MP_OK {pid} {loss:.6f}", flush=True)
 print(f"MP_EVAL {pid} {res['accuracy']:.6f} {res['count']}", flush=True)
+print(f"MP_EVAL_CKPT {pid} {res_ck['accuracy']:.6f}", flush=True)
 '''
 
 
@@ -126,3 +137,13 @@ def test_two_process_cpu_train(tmp_path):
                 evals[int(pid)] = (float(acc), int(count))
     assert set(evals) == {0, 1}, outs
     assert evals[0] == evals[1], evals
+    # Explicit-checkpoint_dir eval (ADVICE r4): restores the same weights
+    # from a dir that is NOT train_logdir -> same global accuracy.
+    ck_evals = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_EVAL_CKPT"):
+                _, pid, acc = line.split()
+                ck_evals[int(pid)] = float(acc)
+    assert set(ck_evals) == {0, 1}, outs
+    assert ck_evals[0] == ck_evals[1] == evals[0][0], (ck_evals, evals)
