@@ -183,6 +183,21 @@ class GVCNNConfig:
     # Data-parallel degree = number of devices on the 1-D `data` mesh.
     # None = use all visible devices.
     num_devices: Optional[int] = None
+    # Cross-replica BatchNorm statistics under data parallelism:
+    # "global" (default) — GSPMD computes BN mean/var over the GLOBAL
+    #   batch: exact single-device math at any DP degree, but every BN
+    #   layer's statistics all-reduce sits in the forward critical path
+    #   (~61 small collectives/step at flagship shapes — the pod-scale
+    #   latency term priced by tools/analyze_collectives).
+    # "local" — reference DP semantics (slim multi-tower training
+    #   normalizes each tower over its own shard): the step runs under
+    #   shard_map, BN normalizes over the LOCAL per-device batch, and only
+    #   the running-statistics EMA update is cross-replica averaged — a
+    #   combine that happens AFTER the backward pass, off the forward
+    #   critical path, where XLA's all-reduce combiner can coalesce it
+    #   with the gradient all-reduce (audit: tools/analyze_collectives
+    #   --bn_sync local).  Identical math at num_devices=1.
+    bn_sync: str = "global"              # global | local
 
     def replace(self, **kw) -> "GVCNNConfig":
         return dataclasses.replace(self, **kw)
@@ -350,6 +365,11 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="selectively rematerialize the backbone prefix "
                         "through this endpoint (e.g. MaxPool_3a_3x3) in "
                         "the backward pass; '' = off")
+    p.add_argument("--bn_sync", default=None, choices=["global", "local"],
+                   help="BN statistics under data parallelism: 'global' "
+                        "(exact global-batch stats, default) or 'local' "
+                        "(per-device stats a la slim towers; EMA update "
+                        "cross-replica averaged off the critical path)")
     return p
 
 
@@ -370,7 +390,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("bn_momentum", top_kw), ("group_weight", top_kw),
         ("score_squash", top_kw), ("stem_space_to_depth", top_kw),
         ("stem_pallas", top_kw), ("merge_inception_branches", top_kw),
-        ("remat_until", top_kw),
+        ("remat_until", top_kw), ("bn_sync", top_kw),
     ]:
         v = getattr(args, field, None)
         if v is not None:

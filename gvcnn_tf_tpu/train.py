@@ -99,11 +99,33 @@ def l2_regularization(params, weight_decay: float) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def make_train_step(
-    model, tx: optax.GradientTransformation, config: GVCNNConfig
+    model, tx: optax.GradientTransformation, config: GVCNNConfig,
+    mesh=None,
 ) -> Callable:
-    """Build the pure train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the pure train step: (state, batch, rng) -> (state, metrics).
+
+    `bn_sync="global"` (default): the returned function is plain jittable
+    math; under a multi-device jit GSPMD computes BN statistics over the
+    GLOBAL batch (exact single-device semantics at any DP degree).
+
+    `bn_sync="local"` with a multi-device `mesh`: the step is wrapped in
+    `jax.shard_map` over the mesh's `data` axis — BN normalizes over the
+    LOCAL per-device batch (reference DP semantics: slim towers each
+    normalize their own shard) and the cross-replica combine (gradients,
+    metrics, BN EMA update) is ONE explicit pmean after the backward pass.
+    The EMA is linear, so pmean-ing the updated running stats equals
+    updating with the cross-replica batch statistics: state stays
+    replicated and checkpoints are layout-identical to global mode.
+    """
 
     tc = config.train
+    from gvcnn_tf_tpu.parallel.mesh import DATA_AXIS
+
+    local_bn = (
+        getattr(config, "bn_sync", "global") == "local"
+        and mesh is not None
+        and mesh.size > 1
+    )
 
     def loss_for(params, batch_stats, views, labels, dropout_rng):
         (logits, _), updates = model.apply(
@@ -126,8 +148,28 @@ def make_train_step(
         loss = ce + l2_regularization(params, tc.weight_decay)
         return loss, (logits, updates["batch_stats"])
 
+    def _pvary(tree):
+        # Mark replicated params as device-VARYING before differentiating:
+        # under shard_map's replication typing, the cotangent of an
+        # UNVARYING input is implicitly psum'd across the mesh (transpose
+        # of broadcast), which would hand back shard-grad SUMS and double
+        # the combine below into n*mean.  pcast/pvary keeps the grad
+        # per-shard so the one explicit pmean is the whole story.
+        if hasattr(jax.lax, "pcast"):
+            cast = lambda x: jax.lax.pcast(x, DATA_AXIS, to="varying")
+        else:  # pragma: no cover - older jax
+            cast = lambda x: jax.lax.pvary(x, DATA_AXIS)
+        return jax.tree.map(cast, tree)
+
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
+        params_in = state.params
+        if local_bn:
+            params_in = _pvary(params_in)
+            # Distinct dropout streams per shard (global mode gets this for
+            # free: one mask over the global batch).
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(DATA_AXIS))
         # Raw-uint8 transfers normalize on device (utils/images.py);
         # float transfers pass through untouched.
         views, labels = normalize_views(batch["views"]), batch["label"]
@@ -136,7 +178,7 @@ def make_train_step(
         if k == 1:
             (loss, (logits, new_bn)), grads = jax.value_and_grad(
                 loss_for, has_aux=True
-            )(state.params, state.batch_stats, views, labels, step_rng)
+            )(params_in, state.batch_stats, views, labels, step_rng)
             acc = jnp.mean(
                 (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
             )
@@ -161,7 +203,7 @@ def make_train_step(
                 v, l, i = xs
                 (loss_i, (logits_i, bn_new)), grads_i = jax.value_and_grad(
                     loss_for, has_aux=True
-                )(state.params, bn, v, l, jax.random.fold_in(step_rng, i))
+                )(params_in, bn, v, l, jax.random.fold_in(step_rng, i))
                 acc_i = jnp.mean(
                     (jnp.argmax(logits_i, -1) == l).astype(jnp.float32)
                 )
@@ -173,6 +215,16 @@ def make_train_step(
             grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gstack)
             loss = jnp.mean(losses)
             acc = jnp.mean(accs)
+
+        if local_bn:
+            # The ONE cross-replica combine of the step: gradient mean,
+            # metric means, and the BN running-stat EMA update (linear in
+            # the batch statistics, so pmean(EMA_local) == EMA(pmean of
+            # batch stats) given replicated inputs).  Sits after the
+            # backward pass with no forward consumers — XLA's all-reduce
+            # combiner coalesces these with the gradient all-reduce.
+            grads, loss, acc, new_bn = jax.lax.pmean(
+                (grads, loss, acc, new_bn), DATA_AXIS)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -189,6 +241,15 @@ def make_train_step(
         }
         return new_state, mets
 
+    if local_bn:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            train_step,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P()),
+        )
     return train_step
 
 
@@ -371,7 +432,7 @@ def train(
     from gvcnn_tf_tpu.utils import tpu_compiler_options
 
     train_step = jax.jit(
-        make_train_step(model, tx, config),
+        make_train_step(model, tx, config, mesh=mesh),
         in_shardings=(repl, dsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=0,
