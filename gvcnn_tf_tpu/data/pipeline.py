@@ -106,7 +106,10 @@ def make_dataset(
             shard_index=shard_index,
             num_shards=num_shards,
             raw_uint8=data_cfg.transfer_dtype == "uint8",
-            augment=data_cfg.augment,
+            # device_flip moves the random flip into the jitted train step
+            # (train.py) — the host must then stream VERBATIM batches or
+            # views would be double-flipped.
+            augment=data_cfg.augment and not data_cfg.device_flip,
         )
 
     if loader == "native":

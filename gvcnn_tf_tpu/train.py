@@ -173,6 +173,20 @@ def make_train_step(
         # Raw-uint8 transfers normalize on device (utils/images.py);
         # float transfers pass through untouched.
         views, labels = normalize_views(batch["views"]), batch["label"]
+        if (config.data.loader == "decoded" and config.data.augment
+                and config.data.device_flip and views.ndim == 5):
+            # Device-side random horizontal flip for the decode-once
+            # loader (configs.py device_flip): the host streams verbatim
+            # memmap batches at memcpy speed and the flip is a lax
+            # reverse + select XLA fuses into the input processing —
+            # measured 2.5x host-loader speedup at flagship shapes vs
+            # flipping on the host.  p=0.5 per (shape, view), matching
+            # the reference's per-view flip.
+            flip_rng = jax.random.fold_in(step_rng, 0x46_4C_50)  # "FLP"
+            flip = jax.random.bernoulli(
+                flip_rng, 0.5, views.shape[:2])
+            views = jnp.where(flip[:, :, None, None, None],
+                              views[:, :, :, ::-1, :], views)
 
         k = max(tc.accumulate_steps, 1)
         if k == 1:

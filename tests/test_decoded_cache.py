@@ -184,3 +184,76 @@ def test_train_rejects_out_of_range_labels(tree, tmp_path):
     )
     with pytest.raises(ValueError, match="out of range"):
         train_fn(cfg)
+
+
+def test_device_flip_pipeline_streams_verbatim(tree):
+    """configs.device_flip: the pipeline must hand the decoded loader
+    VERBATIM batches (host augment off) — the flip happens inside the
+    jitted train step, and a host flip on top would double-flip."""
+    import dataclasses
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.data.pipeline import make_dataset
+
+    root, _ = tree
+    base = get_config("mn10_8view")
+    dcfg = dataclasses.replace(
+        base.data, loader="decoded", dataset_dir=str(root), num_views=2,
+        height=16, width=16, batch_size=6, transfer_dtype="uint8",
+        augment=True, device_flip=True)
+    got = next(make_dataset(dcfg, train=True, seed=0))["views"]
+    plain = next(iter(decoded_dataset(
+        str(root), num_views=2, height=16, width=16, batch_size=6,
+        train=True, augment=False, raw_uint8=True, seed=0)))["views"]
+    np.testing.assert_array_equal(got, plain)
+    # device_flip=False keeps the host flip (non-verbatim with prob
+    # 1 - 2^-12 per batch; assert via the flip-or-original property).
+    dcfg2 = dataclasses.replace(dcfg, device_flip=False)
+    got2 = next(make_dataset(dcfg2, train=True, seed=0))["views"]
+    for s in range(6):
+        for v in range(2):
+            assert (np.array_equal(got2[s, v], plain[s, v])
+                    or np.array_equal(got2[s, v], plain[s, v][:, ::-1]))
+
+
+def test_device_flip_in_train_step(tree):
+    """The jitted step with device_flip must actually flip some views:
+    run the SAME batch through a flip-enabled and a flip-disabled config
+    — with 8 (shape, view) Bernoulli slots the losses differ a.s.; and
+    the no-augment config must match the flip-disabled one exactly."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gvcnn_tf_tpu.configs import get_config
+    from gvcnn_tf_tpu.train import create_train_state, make_train_step
+
+    base = get_config("mn10_8view")
+
+    def run(augment, device_flip):
+        cfg = base.replace(
+            compute_dtype="float32",
+            use_pallas_grouping=False,
+            dropout_keep_prob=1.0,
+            data=dataclasses.replace(
+                base.data, loader="decoded", num_views=4, height=16,
+                width=16, batch_size=4, augment=augment,
+                device_flip=device_flip),
+        )
+        model, tx, state = create_train_state(cfg, jax.random.key(0))
+        rng = np.random.RandomState(0)
+        batch = {
+            "views": jnp.asarray(
+                rng.rand(4, 4, 16, 16, 3), jnp.float32),
+            "label": jnp.asarray(rng.randint(0, 10, 4), jnp.int32),
+        }
+        _, mets = jax.jit(make_train_step(model, tx, cfg))(
+            state, batch, jax.random.key(1))
+        return float(mets["loss"])
+
+    on = run(augment=True, device_flip=True)
+    off = run(augment=True, device_flip=False)   # host would flip; step no-op
+    noaug = run(augment=False, device_flip=True)
+    assert off == noaug                          # step untouched in both
+    assert on != off, (on, off)                  # 16 slots: P(no flip)=2^-16
