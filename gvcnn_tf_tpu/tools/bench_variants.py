@@ -148,18 +148,25 @@ VARIANTS = [
                      transfer_dtype="bfloat16")),
     ("wire_uint8", _v(merge_inception_branches="1x1",
                       transfer_dtype="uint8")),
+    # uint8 wire + the decoded loader's DEVICE-SIDE random flip (configs
+    # device_flip): same bytes as wire_uint8 plus a lax reverse + select
+    # in the step.  Expected fused (step time == wire_uint8); a gap is
+    # the flip materializing a views-sized copy.
+    ("wire_uint8_flip", _v(merge_inception_branches="1x1",
+                           transfer_dtype="uint8", loader="decoded")),
 ]
 
 
 def variant_config(base, overrides):
     """Apply a VARIANTS override dict: top-level model knobs go through
-    config.replace; `transfer_dtype` routes to the DataConfig."""
+    config.replace; `transfer_dtype`/`loader` route to the DataConfig."""
     overrides = dict(overrides)
-    td = overrides.pop("transfer_dtype", None)
+    data_kw = {k: overrides.pop(k) for k in ("transfer_dtype", "loader")
+               if overrides.get(k) is not None}
     cfg = base.replace(**overrides)
-    if td is not None:
+    if data_kw:
         cfg = cfg.replace(
-            data=dataclasses.replace(cfg.data, transfer_dtype=td)
+            data=dataclasses.replace(cfg.data, **data_kw)
         )
     return cfg
 

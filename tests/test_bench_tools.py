@@ -66,6 +66,10 @@ def test_bench_variants_wire_rows_route_transfer_dtype():
         assert cfg.merge_inception_branches == "1x1"
     legacy = variant_config(base, byname["baseline"])
     assert legacy.data.transfer_dtype == "float32"
+    flip = variant_config(base, byname["wire_uint8_flip"])
+    assert flip.data.transfer_dtype == "uint8"
+    assert flip.data.loader == "decoded"       # activates the step flip
+    assert flip.data.augment and flip.data.device_flip
 
 
 def test_bench_variants_uint8_wire():
