@@ -223,8 +223,14 @@ def make_train_step(
                 )
                 return bn_new, (grads_i, loss_i, acc_i)
 
+            bn0 = state.batch_stats
+            if local_bn:
+                # Scan carries must be type-stable: the carry OUT derives
+                # from device-varying views, so the carry IN must be cast
+                # varying too.
+                bn0 = _pvary(bn0)
             new_bn, (gstack, losses, accs) = jax.lax.scan(
-                micro, state.batch_stats, (mviews, mlabels, midx)
+                micro, bn0, (mviews, mlabels, midx)
             )
             grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), gstack)
             loss = jnp.mean(losses)

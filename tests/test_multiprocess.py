@@ -81,9 +81,23 @@ ck.save(2, state, force=True)
 ck.wait()
 res_ck = evaluate(cfg, checkpoint_dir=alt_dir)
 assert res_ck["count"] == res["count"], (res_ck, res)
+# bn_sync=local on a REAL multi-controller mesh (the POD_RUNBOOK
+# recommendation at pod scale): the shard_map per-tower-BN step must
+# compile and agree across processes like the GSPMD one.
+cfg_local = cfg.replace(
+    bn_sync="local",
+    train=dataclasses.replace(
+        cfg.train, num_steps=1, eval_every=0,
+        train_logdir=logdir + "_localbn",
+    ),
+)
+state_l, mets_l = train(cfg_local)
+loss_l = float(mets_l["loss"])
+assert np.isfinite(loss_l), loss_l
 print(f"MP_OK {pid} {loss:.6f}", flush=True)
 print(f"MP_EVAL {pid} {res['accuracy']:.6f} {res['count']}", flush=True)
 print(f"MP_EVAL_CKPT {pid} {res_ck['accuracy']:.6f}", flush=True)
+print(f"MP_LOCALBN {pid} {loss_l:.6f}", flush=True)
 '''
 
 
@@ -110,7 +124,7 @@ def test_two_process_cpu_train(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=560)
+            out, _ = p.communicate(timeout=900)  # +local-BN leg's compile
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -132,7 +146,7 @@ def test_two_process_cpu_train(tmp_path):
     evals = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("MP_EVAL"):
+            if line.startswith("MP_EVAL "):   # NOT the _CKPT/_LOCALBN lines
                 _, pid, acc, count = line.split()
                 evals[int(pid)] = (float(acc), int(count))
     assert set(evals) == {0, 1}, outs
@@ -147,3 +161,13 @@ def test_two_process_cpu_train(tmp_path):
                 ck_evals[int(pid)] = float(acc)
     assert set(ck_evals) == {0, 1}, outs
     assert ck_evals[0] == ck_evals[1] == evals[0][0], (ck_evals, evals)
+    # bn_sync=local across two real controllers: replicated (pmean'd)
+    # loss must agree exactly like the GSPMD one.
+    lb = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_LOCALBN"):
+                _, pid, loss = line.split()
+                lb[int(pid)] = float(loss)
+    assert set(lb) == {0, 1}, outs
+    assert abs(lb[0] - lb[1]) < 1e-6, lb

@@ -275,3 +275,40 @@ def test_local_bn_collective_profile():
     # The coalesced gradient all-reduce is the same fp32 tree either way.
     assert top_l >= top_g, (top_l, top_g)
     assert len(ops_l) <= len(ops_g), (len(ops_l), len(ops_g))
+
+
+def test_local_bn_with_gradient_accumulation():
+    """bn_sync=local composes with accumulate_steps: the pvary'd params
+    flow through the lax.scan microbatch loop and the post-scan pmean
+    still yields replicated outputs and finite loss."""
+    base = get_config("mn10_8view")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, height=32, width=32, batch_size=16, num_views=2,
+        ),
+        compute_dtype="float32",
+        use_pallas_grouping=False,
+        bn_sync="local",
+        train=dataclasses.replace(base.train, accumulate_steps=2),
+    )
+    model, tx, state0 = create_train_state(cfg, jax.random.key(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "views": rng.rand(16, 2, 32, 32, 3).astype(np.float32),
+        "label": rng.randint(0, cfg.data.num_classes, 16).astype(np.int32),
+    }
+    mesh = create_mesh(8)
+    repl, dsh = replicated_sharding(mesh), data_sharding(mesh)
+    step = jax.jit(
+        make_train_step(model, tx, cfg, mesh=mesh),
+        in_shardings=(repl, dsh, repl),
+        out_shardings=(repl, repl),
+    )
+    s, m = step(
+        jax.device_put(state0, repl), shard_batch(batch, mesh),
+        jax.device_put(jax.random.key(1), repl),
+    )
+    assert np.isfinite(float(m["loss"]))
+    before = jax.tree.leaves(state0.params)[0]
+    after = jax.tree.leaves(s.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
