@@ -42,6 +42,16 @@ class DataConfig:
     # differs.  Ignored by every other loader (they augment during
     # decode, where the flip is free).
     device_flip: bool = True
+    # HBM-resident train split (data/device_resident.py): stage the whole
+    # uint8 split on device once and gather each batch INSIDE the jitted
+    # train step — per-step H2D becomes a (B,) int32 index vector instead
+    # of a 57.8 MB views batch (the train-loop wall on a remote-tunneled
+    # device; measured ~0.13 s/step H2D at the tunnel's ~450 MB/s vs the
+    # 75 ms compute step).  "auto" = on for the procedural loader when
+    # training single-process/single-device with the uint8 wire and the
+    # split fits a conservative HBM budget; "on" forces (single-process
+    # only); "off" streams.  Batch order is identical to streaming.
+    device_resident: str = "auto"        # auto | on | off
     crop_fraction: float = 0.875         # central-crop fraction at eval
     # Preprocessing family:
     #   square — resize to H/crop_fraction then random/central crop (round-1
@@ -356,6 +366,11 @@ def add_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "raw renders and normalizes on device — ~1-ulp "
                         "equivalent, 4x less H2D; procedural/native/"
                         "tfrecord/decoded loaders)")
+    p.add_argument("--device_resident", default=None,
+                   choices=["auto", "on", "off"],
+                   help="stage the whole uint8 train split in HBM once and "
+                        "gather batches inside the jitted step (procedural "
+                        "loader; per-step H2D = a B-long index vector)")
     p.add_argument("--score_squash", default=None,
                    help="score squash: softmax | sigmoid | sigmoid_log")
     p.add_argument("--seed", type=int, default=None)
@@ -392,6 +407,7 @@ def config_from_flags(args: argparse.Namespace) -> GVCNNConfig:
         ("width", data_kw), ("batch_size", data_kw), ("dataset_dir", data_kw),
         ("dataset", data_kw), ("preprocessing", data_kw),
         ("transfer_dtype", data_kw), ("loader", data_kw),
+        ("device_resident", data_kw),
         ("learning_rate", train_kw), ("optimizer", train_kw),
         ("num_steps", train_kw), ("train_logdir", train_kw),
         ("epochs", train_kw), ("steps_per_epoch", train_kw),

@@ -62,6 +62,37 @@ def dataset_size(
     return sum(1 for _ in tf.data.TFRecordDataset(files))
 
 
+def _use_device_resident(data_cfg: DataConfig, train: bool) -> bool:
+    """Gate the HBM-resident split (configs.py `device_resident`).
+
+    auto = on iff training, single-process AND single-device (the
+    multi-device batch-sharding story belongs to the streaming prefetch
+    layer), the uint8 wire is active (raw renders stage 4x smaller and the
+    device normalizes anyway), and the split fits a conservative 4 GiB HBM
+    budget (the flagship 1200-shape split is 2.17 GB on a 16 GB v5e).
+    """
+    mode = getattr(data_cfg, "device_resident", "auto")
+    if mode == "off" or not train:
+        return False
+    import jax
+
+    if mode == "on":
+        if jax.process_count() > 1:
+            raise ValueError(
+                "device_resident='on' is single-process only (multi-host "
+                "input shards through the streaming prefetch layer)")
+        return True
+    width = data_cfg.width or data_cfg.height
+    nbytes = (data_cfg.synthetic_num_shapes * data_cfg.num_views
+              * data_cfg.height * width * 3)
+    return (
+        data_cfg.transfer_dtype == "uint8"
+        and jax.process_count() == 1
+        and jax.local_device_count() == 1
+        and nbytes <= (4 << 30)
+    )
+
+
 def make_dataset(
     data_cfg: DataConfig, *, train: bool, seed: int = 0,
     num_epochs=None, shard_index: int = 0, num_shards: int = 1,
@@ -140,6 +171,28 @@ def make_dataset(
     if loader == "procedural":
         # Rendered views of parametric 3D meshes (data/procedural.py): the
         # in-container stand-in for ModelNet where grouping is measurable.
+        if _use_device_resident(data_cfg, train):
+            from gvcnn_tf_tpu.data.device_resident import (
+                device_resident_iter,
+            )
+            from gvcnn_tf_tpu.data.procedural import build_procedural_split
+
+            views, labels = build_procedural_split(
+                num_views=data_cfg.num_views,
+                height=data_cfg.height,
+                width=data_cfg.width,
+                num_shapes=data_cfg.synthetic_num_shapes,
+                seed=seed,
+                train_split=train,
+                hard=data_cfg.dataset == "procedural_hard",
+                num_classes=data_cfg.num_classes,
+            )
+            return device_resident_iter(
+                views, labels,
+                batch_size=data_cfg.batch_size, seed=seed, train=train,
+                num_epochs=num_epochs, shard_index=shard_index,
+                num_shards=num_shards,
+            )
         from gvcnn_tf_tpu.data.procedural import procedural_dataset
 
         return procedural_dataset(

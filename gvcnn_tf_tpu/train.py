@@ -170,9 +170,17 @@ def make_train_step(
             # free: one mask over the global batch).
             step_rng = jax.random.fold_in(
                 step_rng, jax.lax.axis_index(DATA_AXIS))
+        views_src, labels_src = batch["views"], batch["label"]
+        if "idx" in batch:
+            # HBM-resident split (data/device_resident.py): the batch
+            # carries the FULL device-staged dataset plus this step's
+            # index vector; gathering here — inside the jitted step —
+            # keeps the loop at one dispatch and 128 B of H2D per step.
+            views_src = jnp.take(views_src, batch["idx"], axis=0)
+            labels_src = jnp.take(labels_src, batch["idx"], axis=0)
         # Raw-uint8 transfers normalize on device (utils/images.py);
         # float transfers pass through untouched.
-        views, labels = normalize_views(batch["views"]), batch["label"]
+        views, labels = normalize_views(views_src), labels_src
         if (config.data.loader == "decoded" and config.data.augment
                 and config.data.device_flip and views.ndim == 5):
             # Device-side random horizontal flip for the decode-once
@@ -462,6 +470,16 @@ def train(
     if dataset_iter is None:
         n_proc = jax.process_count()
         dcfg = config.data
+        n_dev = config.num_devices or jax.local_device_count()
+        if dcfg.device_resident != "off" and (
+                n_dev > 1 or n_proc > 1 or config.bn_sync == "local"):
+            # The full-split + index batch bypasses the data-axis batch
+            # sharding (and shard_map's P('data') in_specs would split
+            # every leaf over the mesh), so HBM-resident input is a
+            # single-device transport: stream everywhere else.
+            import dataclasses as _dc
+
+            dcfg = _dc.replace(dcfg, device_resident="off")
         if n_proc > 1:
             # Multi-host input: each process streams a disjoint shard of the
             # split at the LOCAL batch size; the prefetch layer assembles
