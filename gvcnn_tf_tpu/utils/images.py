@@ -6,8 +6,12 @@ point (B=32 x 12 views x 224^2) that is ~740 ms of single-core NumPy per
 batch against a ~76 ms device step, and 231 MB of float32 (or 115 MB of
 bf16) over the host->device link.  `transfer_dtype="uint8"` ships the raw
 uint8 bytes instead (58 MB, zero host-side arithmetic) and this helper
-performs the identical normalization on device, where it fuses into the
-first conv's input processing.
+performs the identical normalization on device.  Measured on the real
+v5e toolchain (tools/check_wire_fusion.py + the r5 wire A/B,
+docs/PERF_VARIANTS.md): the normalize does NOT fuse into the stem — it
+costs one extra views-sized bf16 materialization (~0.2 ms, within the
+measured +0.35 ms-vs-bf16 noise), which the 4x-smaller H2D and the
+27.7x host-pipeline win dwarf on host-bound input paths.
 
 Exactness: uint8 -> float32 is exact and the op sequence
 `astype(float32) / 255.0 * 2.0 - 1.0` is the same one the host iterator
